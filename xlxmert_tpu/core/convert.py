@@ -1,0 +1,135 @@
+"""Torch-checkpoint -> JAX-pytree converters.
+
+The reference releases two torch checkpoints the framework must load
+(README.md:110-113,146-149): `Epoch20_LXRT.pth` (X-LXMERT pretrain) and
+`G_60.pth` (SPADE generator). This module converts any torch `state_dict`
+(or a raw .pth file, loaded via torch on the host) into the nested param
+dict our flax modules expect.
+
+Conversion rules:
+  - `module.` DDP prefixes are stripped (reference utils.py:42-49 quirk).
+  - List-module indices fold into the parent name: `encoder.layer.3.` ->
+    `layer_3` (our flax modules are named that way on purpose).
+  - Linear `weight` (out,in) -> `kernel` (in,out); Conv2d `weight`
+    (out,in,kh,kw) -> `kernel` (kh,kw,in,out); LayerNorm `weight` (1-D) ->
+    `scale`; embedding tables stay un-transposed as `embedding`.
+  - Weight-tied tensors are dropped, since our modules tie by value:
+    `cls.predictions.decoder.weight` (tied to word embeddings) and
+    `obj_predict_head.out_cluster.weight` (tied to the centroid table,
+    reference lxrt/modeling.py:140-151). `out_cluster.bias` becomes the
+    flat param `out_cluster_bias`.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+# torch module attribute names whose 2-D `weight` is an embedding table
+# (kept row-major, not transposed).
+_EMBEDDING_PARENTS = frozenset({
+    "word_embeddings", "position_embeddings", "token_type_embeddings",
+    "vis_emb", "emb", "embedding",
+})
+
+# tied tensors that have no standalone param in the flax modules
+_TIED_KEYS = frozenset({
+    "cls.predictions.decoder.weight",
+    "obj_predict_head.out_cluster.weight",
+})
+
+
+def strip_ddp_prefix(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Strip the `module.` DDP prefix. Unlike the reference's
+    load_state_dict (utils.py:42-49), keys *without* the prefix are kept
+    rather than silently dropped."""
+    out = {}
+    for k, v in state_dict.items():
+        out[k[len("module."):] if k.startswith("module.") else k] = v
+    return out
+
+
+def _to_numpy(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (possibly on device / half precision)
+    return t.detach().cpu().float().numpy()
+
+
+def _fold_indices(key: str) -> Tuple[str, ...]:
+    """`encoder.layer.3.attention.self.query` -> (encoder, layer_3, ...)."""
+    parts = key.split(".")
+    out = []
+    for p in parts:
+        if p.isdigit() and out:
+            out[-1] = f"{out[-1]}_{p}"
+        else:
+            out.append(p)
+    return tuple(out)
+
+
+def _insert(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_torch_state_dict(
+    state_dict: Mapping[str, Any],
+    drop_tied: bool = True,
+) -> Dict[str, Any]:
+    """Generic torch state_dict -> flax-style nested param dict."""
+    sd = strip_ddp_prefix(state_dict)
+    tree: Dict[str, Any] = {}
+    for key, tensor in sd.items():
+        if drop_tied and key in _TIED_KEYS:
+            continue
+        arr = _to_numpy(tensor)
+        path = list(_fold_indices(key))
+        leaf = path[-1]
+
+        if key == "obj_predict_head.out_cluster.bias":
+            path = ["obj_predict_head", "out_cluster_bias"]
+        elif leaf == "weight":
+            parent = path[-2] if len(path) >= 2 else ""
+            if arr.ndim == 1:
+                path[-1] = "scale"  # LayerNorm / InstanceNorm / NoiseInjection
+            elif arr.ndim == 2 and parent in _EMBEDDING_PARENTS:
+                path[-1] = "embedding"
+            elif arr.ndim == 2:
+                path[-1] = "kernel"
+                arr = arr.T
+            elif arr.ndim == 4:  # Conv2d OIHW -> flax HWIO
+                path[-1] = "kernel"
+                arr = arr.transpose(2, 3, 1, 0)
+            else:
+                path[-1] = "kernel"
+        elif leaf == "bias":
+            pass  # name and layout match
+        # anything else (e.g. `mask_feat`, standalone params) passes through
+
+        _insert(tree, tuple(path), arr)
+    return tree
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a .pth file on the host and convert it. Torch is only imported
+    here — the device-side code never depends on it."""
+    import torch  # host-side only
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd and all(
+            not hasattr(v, "shape") for k, v in sd.items() if k != "state_dict"):
+        sd = sd["state_dict"]
+    return convert_torch_state_dict(sd)
+
+
+def extract_centroids(state_dict: Mapping[str, Any]) -> Optional[np.ndarray]:
+    """Pull the frozen centroid table (`vis_emb.weight`) out of a reference
+    checkpoint, if present."""
+    sd = strip_ddp_prefix(state_dict)
+    for k in ("vis_emb.weight", "module.vis_emb.weight"):
+        if k in sd:
+            return _to_numpy(sd[k])
+    return None

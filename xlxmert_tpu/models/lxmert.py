@@ -1,0 +1,427 @@
+"""TPU-native LXMERT backbone (flax.linen).
+
+Re-implements the architecture the reference delegates to HuggingFace
+`transformers.models.lxmert.modeling_lxmert` (see SURVEY.md §2.2; the
+reference imports it at x-lxmert/src/lxrt/modeling.py:5). Numerically
+verified against the torch implementation in tests/test_lxmert_parity.py.
+
+Architecture (HF modeling_lxmert.py, verified against the installed source):
+  - Embeddings: word + absolute-position + token-type, LayerNorm(1e-12).
+  - VisualFeatureEncoder: visn_fc(2048->768)+LN and box_fc(4->768)+LN,
+    output = (x + y) / 2.
+  - Encoder: l_layers language self-attn blocks -> r_layers visual
+    ("relational") self-attn blocks -> x_layers cross-modality blocks.
+    Each X block applies ONE shared cross-attention module in both
+    directions (lang<-vis and vis<-lang with the same weights), then
+    per-modality self-attn, then per-modality FFN.
+  - Pooler: tanh-dense over the first language token ([CLS]).
+
+TPU-first design notes:
+  - All shapes are static: text padded to `max_text_length`, visual tokens
+    fixed at grid_size**2. Masking is additive-bias, never boolean gather.
+  - Attention is einsum-form so XLA tiles the (B, 12, L, L) contractions
+    onto the MXU; softmax is computed in fp32 regardless of compute dtype.
+  - `dtype` controls activation/compute precision (bf16 for training and
+    serving; fp32 for parity tests). Parameters are always stored fp32.
+  - Module/parameter names deliberately mirror the torch attribute paths so
+    checkpoint conversion (core/convert.py) is a mechanical rename.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xlxmert_tpu.core.config import LxmertConfig
+
+Dtype = Any
+
+NEG_INF = -1e9  # large-negative additive mask (fp32-safe, bf16-safe)
+
+
+def extend_attention_mask(mask: Optional[jnp.ndarray], dtype: Dtype) -> Optional[jnp.ndarray]:
+    """(B, L) {0,1} mask -> (B, 1, 1, L) additive bias (0 keep / -inf drop)."""
+    if mask is None:
+        return None
+    bias = (1.0 - mask.astype(jnp.float32)) * NEG_INF
+    return bias[:, None, None, :].astype(dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head attention core (HF LxmertAttention)."""
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, context, attention_bias=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        H, D = cfg.num_attention_heads, cfg.head_dim
+        dense = lambda name: nn.Dense(
+            cfg.hidden_size, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(cfg.initializer_range), name=name)
+        q = dense("query")(hidden_states)
+        k = dense("key")(context)
+        v = dense("value")(context)
+
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+        q = q.reshape(B, Lq, H, D)
+        k = k.reshape(B, Lk, H, D)
+        v = v.reshape(B, Lk, H, D)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / jnp.sqrt(D).astype(jnp.float32))
+        if attention_bias is not None:
+            scores = scores + attention_bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return ctx.reshape(B, Lq, H * D)
+
+
+class AttentionOutput(nn.Module):
+    """Projection + residual + LayerNorm (HF LxmertAttentionOutput)."""
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, input_tensor, deterministic: bool = True):
+        cfg = self.config
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(cfg.initializer_range),
+                     name="dense")(hidden_states)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="LayerNorm")(h + input_tensor)
+        return h
+
+
+class SelfAttentionLayer(nn.Module):
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_bias=None, deterministic: bool = True):
+        h = Attention(self.config, self.dtype, name="self")(
+            x, x, attention_bias, deterministic)
+        return AttentionOutput(self.config, self.dtype, name="output")(
+            h, x, deterministic)
+
+
+class CrossAttentionLayer(nn.Module):
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx, ctx_attention_bias=None, deterministic: bool = True):
+        h = Attention(self.config, self.dtype, name="att")(
+            x, ctx, ctx_attention_bias, deterministic)
+        return AttentionOutput(self.config, self.dtype, name="output")(
+            h, x, deterministic)
+
+
+class Intermediate(nn.Module):
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.config.intermediate_size, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(self.config.initializer_range),
+                     name="dense")(x)
+        # HF uses exact (erf) gelu for lxmert's default hidden_act="gelu".
+        return nn.gelu(h, approximate=False)
+
+
+class FFOutput(nn.Module):
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, input_tensor, deterministic: bool = True):
+        cfg = self.config
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(cfg.initializer_range),
+                     name="dense")(x)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                            name="LayerNorm")(h + input_tensor)
+
+
+class TransformerLayer(nn.Module):
+    """Self-attn + FFN block (HF LxmertLayer): language and relational stacks."""
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_bias=None, deterministic: bool = True):
+        att = SelfAttentionLayer(self.config, self.dtype, name="attention")(
+            x, attention_bias, deterministic)
+        inter = Intermediate(self.config, self.dtype, name="intermediate")(att)
+        return FFOutput(self.config, self.dtype, name="output")(
+            inter, att, deterministic)
+
+
+class XLayer(nn.Module):
+    """Cross-modality block (HF LxmertXLayer).
+
+    The single `visual_attention` module is applied twice with shared
+    weights — lang attends to vision and vision attends to lang — which is
+    load-bearing for checkpoint parity (SURVEY.md §2.2).
+    """
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lang, lang_bias, visn, visn_bias, deterministic: bool = True):
+        cross = CrossAttentionLayer(self.config, self.dtype, name="visual_attention")
+        lang_att = cross(lang, visn, visn_bias, deterministic)
+        visn_att = cross(visn, lang, lang_bias, deterministic)
+
+        lang_att = SelfAttentionLayer(self.config, self.dtype, name="lang_self_att")(
+            lang_att, lang_bias, deterministic)
+        visn_att = SelfAttentionLayer(self.config, self.dtype, name="visn_self_att")(
+            visn_att, visn_bias, deterministic)
+
+        lang_inter = Intermediate(self.config, self.dtype, name="lang_inter")(lang_att)
+        visn_inter = Intermediate(self.config, self.dtype, name="visn_inter")(visn_att)
+        lang_out = FFOutput(self.config, self.dtype, name="lang_output")(
+            lang_inter, lang_att, deterministic)
+        visn_out = FFOutput(self.config, self.dtype, name="visn_output")(
+            visn_inter, visn_att, deterministic)
+        return lang_out, visn_out
+
+
+class VisualFeatureEncoder(nn.Module):
+    """(feats, boxes) -> hidden (HF LxmertVisualFeatureEncoder): (x + y) / 2."""
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, visual_feats, visual_pos, deterministic: bool = True):
+        cfg = self.config
+        init = nn.initializers.normal(cfg.initializer_range)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
+                     name="visn_fc")(visual_feats.astype(self.dtype))
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="visn_layer_norm")(x)
+        y = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
+                     name="box_fc")(visual_pos.astype(self.dtype))
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="box_layer_norm")(y)
+        out = (x + y) * 0.5
+        return nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+
+
+class Embeddings(nn.Module):
+    """Word + position + token-type embeddings (HF LxmertEmbeddings)."""
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, deterministic: bool = True):
+        cfg = self.config
+        init = nn.initializers.normal(cfg.initializer_range)
+        B, L = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        words = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+                         embedding_init=init, name="word_embeddings")(input_ids)
+        position_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       dtype=self.dtype, embedding_init=init,
+                       name="position_embeddings")(position_ids)
+        tok = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
+                       embedding_init=init,
+                       name="token_type_embeddings")(token_type_ids)
+        h = words + pos + tok
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="LayerNorm")(h)
+        return nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+
+
+class Encoder(nn.Module):
+    """9 language -> 5 relational -> 5 cross-modality blocks (HF LxmertEncoder)."""
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lang_feats, lang_bias, visual_feats, visual_pos,
+                 visual_bias=None, deterministic: bool = True):
+        cfg = self.config
+        visn = VisualFeatureEncoder(cfg, self.dtype, name="visn_fc")(
+            visual_feats, visual_pos, deterministic)
+        lang = lang_feats
+        # Torch name for the language stack is `layer` (BERT-weight loading quirk).
+        for i in range(cfg.l_layers):
+            lang = TransformerLayer(cfg, self.dtype, name=f"layer_{i}")(
+                lang, lang_bias, deterministic)
+        for i in range(cfg.r_layers):
+            visn = TransformerLayer(cfg, self.dtype, name=f"r_layers_{i}")(
+                visn, visual_bias, deterministic)
+        for i in range(cfg.x_layers):
+            lang, visn = XLayer(cfg, self.dtype, name=f"x_layers_{i}")(
+                lang, lang_bias, visn, visual_bias, deterministic)
+        return lang, visn
+
+
+class Pooler(nn.Module):
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lang_hidden):
+        h = nn.Dense(self.config.hidden_size, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(self.config.initializer_range),
+                     name="dense")(lang_hidden[:, 0])
+        return jnp.tanh(h)
+
+
+class LxmertModel(nn.Module):
+    """Full backbone: embeddings -> encoder -> pooler (HF LxmertModel).
+
+    Returns (lang_output, visual_output, pooled_output).
+    """
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, visual_feats, visual_pos,
+                 attention_mask=None, visual_attention_mask=None,
+                 token_type_ids=None, deterministic: bool = True):
+        cfg = self.config
+        lang_bias = extend_attention_mask(attention_mask, self.dtype)
+        visual_bias = extend_attention_mask(visual_attention_mask, self.dtype)
+        emb = Embeddings(cfg, self.dtype, name="embeddings")(
+            input_ids, token_type_ids, deterministic)
+        lang, visn = Encoder(cfg, self.dtype, name="encoder")(
+            emb, lang_bias, visual_feats, visual_pos, visual_bias, deterministic)
+        pooled = Pooler(cfg, self.dtype, name="pooler")(lang)
+        return lang, visn, pooled
+
+
+# ---------------------------------------------------------------------------
+# Heads (HF modeling_lxmert.py heads + the reference's cluster-output override
+# at x-lxmert/src/lxrt/modeling.py:8-53).
+# ---------------------------------------------------------------------------
+
+
+class PredictionHeadTransform(nn.Module):
+    """dense -> gelu -> LayerNorm (HF LxmertPredictionHeadTransform)."""
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(cfg.initializer_range),
+                     name="dense")(x)
+        h = nn.gelu(h, approximate=False)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                            name="LayerNorm")(h)
+
+
+class LMPredictionHead(nn.Module):
+    """Transform + decoder tied to the word embeddings + bias
+    (HF LxmertLMPredictionHead). The tied embedding matrix is passed in
+    at call time — weight tying by value, the functional-JAX way.
+    """
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, word_embedding_matrix):
+        h = PredictionHeadTransform(self.config, self.dtype, name="transform")(hidden)
+        logits = jnp.einsum("bld,vd->blv", h,
+                            word_embedding_matrix.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.config.vocab_size,), jnp.float32)
+        return logits + bias
+
+
+class PreTrainingHeads(nn.Module):
+    """LM head + 2-way matched head (HF LxmertPreTrainingHeads)."""
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sequence_output, pooled_output, word_embedding_matrix):
+        lm = LMPredictionHead(self.config, self.dtype, name="predictions")(
+            sequence_output, word_embedding_matrix)
+        matched = nn.Dense(2, dtype=self.dtype,
+                           kernel_init=nn.initializers.normal(
+                               self.config.initializer_range),
+                           name="seq_relationship")(pooled_output)
+        return lm, matched.astype(jnp.float32)
+
+
+class VisualObjHead(nn.Module):
+    """The reference's cluster-output visual head
+    (x-lxmert/src/lxrt/modeling.py:8-53): transform -> linear_feat
+    (768->2048) -> out_cluster (2048->num_clusters). `out_cluster` weight is
+    TIED to the frozen k-means centroid table (modeling.py:140-151), so the
+    centroid matrix is passed at call time; out_cluster keeps only a bias.
+    """
+
+    config: LxmertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, centroids=None, out_keys=("obj",)):
+        cfg = self.config
+        h = PredictionHeadTransform(cfg, self.dtype, name="transform")(hidden)
+        feat = nn.Dense(cfg.visual_feat_dim, dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(cfg.initializer_range),
+                        name="linear_feat")(h)
+        out = {}
+        if "feat" in out_keys:
+            out["feat"] = feat
+        if "obj" in out_keys:
+            # logits against the (num_clusters, 2048) centroid table — an
+            # MXU-friendly (B*64, 2048) x (2048, 10000) matmul.
+            bias = self.param("out_cluster_bias", nn.initializers.zeros,
+                              (cfg.num_clusters,), jnp.float32)
+            logits = jnp.einsum("blf,cf->blc", feat,
+                                centroids.astype(self.dtype),
+                                preferred_element_type=jnp.float32)
+            out["obj"] = logits + bias
+        return out
+
+
+class VisualAnswerHead(nn.Module):
+    """hid -> 2*hid -> GeLU -> LN -> num_labels (HF LxmertVisualAnswerHead)."""
+
+    config: LxmertConfig
+    num_labels: int = 9500
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled):
+        cfg = self.config
+        init = nn.initializers.normal(cfg.initializer_range)
+        h = nn.Dense(cfg.hidden_size * 2, dtype=self.dtype, kernel_init=init,
+                     name="logit_fc_0")(pooled)
+        h = nn.gelu(h, approximate=False)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="logit_fc_2")(h)
+        h = nn.Dense(self.num_labels, dtype=self.dtype, kernel_init=init,
+                     name="logit_fc_3")(h)
+        return h.astype(jnp.float32)
