@@ -1,0 +1,110 @@
+"""Pretraining engine tests on the virtual 8-device CPU mesh — a capability
+the reference entirely lacks (its DDP paths are untestable without GPUs,
+SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xlxmert_tpu.core.config import LxmertConfig, TrainConfig
+from xlxmert_tpu.tasks.pretrain import PretrainEngine, TrainState
+
+
+TINY = LxmertConfig(
+    vocab_size=150, hidden_size=32, num_attention_heads=4,
+    intermediate_size=64, l_layers=1, x_layers=1, r_layers=1,
+    visual_feat_dim=16, num_qa_labels=11, num_clusters=24)
+
+
+def make_engine(task_qa=False, **cfg_kw):
+    cfg = TrainConfig(batch_size=16, grid_size=4, num_clusters=24,
+                      max_text_length=12, task_qa=task_qa,
+                      mixed_precision=False, lr=1e-3, **cfg_kw)
+    eng = PretrainEngine(cfg, model_cfg=TINY, total_steps=100)
+    return eng
+
+
+def make_batch(cfg, rng_seed=0, B=16):
+    rng = np.random.RandomState(rng_seed)
+    L, V = cfg.max_text_length, cfg.n_grids
+    word_id = rng.randint(1, 150, (B, L)).astype(np.int32)
+    word_id[:, 0] = 101
+    return {
+        "word_id": word_id,
+        "other_word_id": rng.randint(1, 150, (B, L)).astype(np.int32),
+        "matched_label": rng.randint(0, 2, (B,)).astype(np.int32),
+        "cluster_id": rng.randint(0, 24, (B, V)).astype(np.int32),
+        "vis_feats": rng.randn(B, V, 16).astype(np.float32),
+        "qa_label": rng.randint(0, 11, (B,)).astype(np.int32),
+    }
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("task", ["word_mask", "vis_mask", "matched"])
+def test_train_step_runs_and_learns(task):
+    eng = make_engine()
+    state = eng.create_state(jax.random.PRNGKey(0))
+    centroids = jnp.asarray(
+        np.random.RandomState(1).randn(24, 16).astype(np.float32))
+    step_fn = eng.train_step(task)
+    batch = eng.place(make_batch(eng.cfg))
+    rng = jax.random.PRNGKey(42)
+
+    losses = []
+    for i in range(8):
+        state, metrics = step_fn(state, batch, rng, centroids)
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(losses))
+    # same batch re-fed: loss must drop
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_round_robin_and_qa():
+    eng = make_engine(task_qa=True)
+    assert eng.cfg.mask_modalities == ("vis_mask", "word_mask", "matched")
+    assert eng.task_for_step(0) == "vis_mask"
+    assert eng.task_for_step(1) == "word_mask"
+    assert eng.task_for_step(2) == "matched"
+    assert eng.task_for_step(3) == "vis_mask"
+
+    state = eng.create_state(jax.random.PRNGKey(0))
+    centroids = jnp.asarray(
+        np.random.RandomState(1).randn(24, 16).astype(np.float32))
+    batch = eng.place(make_batch(eng.cfg))
+    rng = jax.random.PRNGKey(0)
+    for i in range(3):
+        task = eng.task_for_step(i)
+        state, metrics = eng.train_step(task)(state, batch, rng, centroids)
+        assert np.isfinite(float(metrics["total_loss"]))
+        assert "qa_loss" in metrics
+
+
+def test_eval_step_deterministic():
+    eng = make_engine()
+    state = eng.create_state(jax.random.PRNGKey(0))
+    centroids = jnp.asarray(
+        np.random.RandomState(1).randn(24, 16).astype(np.float32))
+    batch = eng.place(make_batch(eng.cfg))
+    es = eng.eval_step("matched")
+    m1 = es(state.params, batch, jax.random.PRNGKey(5), centroids)
+    m2 = es(state.params, batch, jax.random.PRNGKey(5), centroids)
+    assert float(m1["total_loss"]) == float(m2["total_loss"])
+
+
+def test_grad_sync_across_mesh():
+    """Params must stay replica-identical after sharded-batch updates —
+    the pjit equivalent of DDP's allreduce invariant."""
+    eng = make_engine()
+    state = eng.create_state(jax.random.PRNGKey(0))
+    centroids = jnp.asarray(
+        np.random.RandomState(1).randn(24, 16).astype(np.float32))
+    batch = eng.place(make_batch(eng.cfg, rng_seed=3))
+    state, _ = eng.train_step("word_mask")(
+        state, batch, jax.random.PRNGKey(1), centroids)
+    leaf = state.params["bert"]["pooler"]["dense"]["kernel"]
+    # fully replicated output sharding
+    assert leaf.sharding.is_fully_replicated

@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's NCCL DDP substrate (lxmert_pretrain.py:694-700,
+102-106; utils.py:11-39): one jitted SPMD program over a `jax.sharding.Mesh`
+instead of process-per-GPU + explicit all-reduce/barriers. Gradients and
+metrics are averaged by XLA-inserted collectives over the ICI `data` axis;
+program order replaces every `dist.barrier()`.
+
+The mesh is N-D by design: the default is a 1-D ("data",) mesh (the model
+is ~240M params — DP is the right strategy, SURVEY.md §2.4), but callers
+may request ("data", "model") shapes for layer-sharded variants.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Tuple[int, ...] = (),
+              axis_names: Tuple[str, ...] = ("data",),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a mesh. Empty `shape` puts every device on the first axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if not shape:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch (dict of arrays, leading dim = global batch) onto
+    the mesh, sharded along `data`. Replaces DistributedSampler
+    (lxmert_data.py:663-667) + per-rank H2D copies."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate params/opt state across the mesh (pure DP)."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,238 @@
+"""Pretraining engine: unified jitted train/eval steps, task round-robin,
+bf16 compute, 1-D data mesh with XLA-inserted gradient collectives.
+
+Reference behavior being reproduced (lxmert_pretrain.py:45-686):
+  - task = MASK_MODALITY[step % len(MASK_MODALITY)] round-robin (:295-298)
+  - AdamW + linear warmup/decay, no-decay groups (:110-141)
+  - grad clipping (:343-353), per-epoch eval + checkpoint (:486,549)
+
+TPU-native re-design:
+  - All masking/label construction that the reference does on the host in
+    Dataset/collate runs on device inside the jitted step (ops/masking.py).
+  - One jitted step per task (static task arg) replaces DDP's
+    find_unused_parameters=True: every program only touches the params it
+    uses; missing grads are zeros via a unified tree.
+  - Metrics come back via the same SPMD program (mean over the global
+    batch) — no dist.reduce / barriers (utils.py:11-39 equivalents).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from xlxmert_tpu.core.config import LxmertConfig, TrainConfig
+from xlxmert_tpu.core.optim import make_optimizer
+from xlxmert_tpu.models.xlxmert import (
+    XLxmert, embed_clusters, get_word_embedding_matrix, pretrain_losses,
+)
+from xlxmert_tpu.ops.masking import (
+    random_word_mask, square_vis_mask, uniform_count_vis_mask,
+)
+from xlxmert_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from xlxmert_tpu.utils.boxes import box_position
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx)
+
+
+def _task_heads(task: str, task_qa: bool, visual_loss_keys) -> Tuple[str, ...]:
+    heads = []
+    if task == "word_mask":
+        heads.append("lm")
+    elif task == "matched":
+        heads.append("matched")
+    elif task == "vis_mask":
+        heads.extend(k for k in ("obj", "feat") if k in visual_loss_keys)
+    if task_qa:
+        heads.append("qa")
+    return tuple(heads)
+
+
+def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
+                            cfg: TrainConfig, centroids, compute_dtype,
+                            vocab_size: int = 30522, mask_token_id: int = 103):
+    """On-device input/label construction for one task — the jit-side
+    equivalent of Trainer.forward's label_dict dispatch
+    (lxmert_pretrain.py:143-225) plus the collate-side masking."""
+    n_cells = cfg.n_grids
+    labels: Dict[str, jnp.ndarray] = {}
+
+    if task == "word_mask":
+        input_ids, word_labels = random_word_mask(
+            rng, batch["word_id"], cfg.word_mask_rate,
+            vocab_size=vocab_size, mask_token_id=mask_token_id)
+        labels["word_labels"] = word_labels
+        vis_mask = None
+    elif task == "matched":
+        input_ids = batch["other_word_id"]
+        labels["matched_labels"] = batch["matched_label"]
+        vis_mask = None
+    elif task == "vis_mask":
+        input_ids = batch["word_id"]
+        if cfg.square_mask:
+            vis_mask = square_vis_mask(rng, input_ids.shape[0], cfg.grid_size)
+        elif cfg.vis_mask_predict:
+            vis_mask = uniform_count_vis_mask(rng, input_ids.shape[0], n_cells)
+        else:
+            vis_mask = (jax.random.uniform(rng, (input_ids.shape[0], n_cells))
+                        < cfg.obj_mask_rate).astype(jnp.float32)
+        if "obj" in cfg.visual_loss_keys:
+            labels["obj_labels"] = jnp.where(
+                vis_mask > 0, batch["cluster_id"], -100)
+        if "feat" in cfg.visual_loss_keys:
+            labels["feat_labels"] = batch["vis_feats"]
+            labels["vis_mask"] = vis_mask
+    else:
+        raise ValueError(task)
+
+    if cfg.task_qa:
+        qa = batch["qa_label"]
+        if task == "matched":
+            # mismatched pairs can't supervise QA (lxmert_pretrain.py:186-189)
+            qa = jnp.where(batch["matched_label"] == 0, -100, qa)
+        labels["qa_labels"] = qa
+
+    if cfg.clustering:
+        visual_feats = embed_clusters(batch["cluster_id"], centroids,
+                                      compute_dtype)
+    else:
+        visual_feats = batch["vis_feats"].astype(compute_dtype)
+
+    attention_mask = (input_ids > 0).astype(jnp.float32)
+    return input_ids, attention_mask, visual_feats, vis_mask, labels
+
+
+class PretrainEngine:
+    """Owns the model, optimizer, mesh, and per-task compiled steps."""
+
+    def __init__(self, cfg: TrainConfig, model_cfg: Optional[LxmertConfig] = None,
+                 total_steps: int = 100_000, mesh=None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg or LxmertConfig(
+            num_clusters=cfg.num_clusters if cfg.clustering else 0)
+        self.compute_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        self.model = XLxmert(self.model_cfg, dtype=self.compute_dtype,
+                             task_qa=cfg.task_qa)
+        self.tx = make_optimizer(
+            cfg.lr, total_steps, cfg.warmup_ratio, cfg.weight_decay,
+            cfg.clip_grad_norm, cfg.adam_eps, cfg.update_freq)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh_shape, cfg.mesh_axis_names)
+        self.box_pos = jnp.asarray(box_position(cfg.grid_size))
+        self._train_steps: Dict[str, Any] = {}
+        self._eval_steps: Dict[str, Any] = {}
+
+    # -- initialization -----------------------------------------------------
+    def init_params(self, rng) -> Any:
+        B, L, V = 2, self.cfg.max_text_length, self.cfg.n_grids
+        dummy_feats = jnp.zeros((B, V, self.model_cfg.visual_feat_dim),
+                                self.compute_dtype)
+        dummy_centroids = jnp.zeros(
+            (max(self.model_cfg.num_clusters, 1), self.model_cfg.visual_feat_dim))
+        heads = set()
+        for t in self.cfg.mask_modalities:
+            heads.update(_task_heads(t, self.cfg.task_qa, self.cfg.visual_loss_keys))
+        variables = self.model.init(
+            rng, jnp.ones((B, L), jnp.int32), dummy_feats,
+            jnp.zeros((B, V, 4)),
+            attention_mask=jnp.ones((B, L)),
+            vis_mask=jnp.zeros((B, V)),
+            centroids=dummy_centroids,
+            word_embedding_matrix=jnp.zeros(
+                (self.model_cfg.vocab_size, self.model_cfg.hidden_size)),
+            heads=tuple(sorted(heads)),
+            deterministic=True)
+        return variables["params"]
+
+    def create_state(self, rng) -> TrainState:
+        params = self.init_params(rng)
+        state = TrainState.create(params, self.tx)
+        return jax.tree.map(
+            lambda x: x, replicate(state, self.mesh))
+
+    # -- steps ----------------------------------------------------------------
+    def _make_step(self, task: str, train: bool):
+        cfg, model = self.cfg, self.model
+        heads = _task_heads(task, cfg.task_qa, cfg.visual_loss_keys)
+        box_pos = self.box_pos
+        compute_dtype = self.compute_dtype
+
+        vocab_size = self.model_cfg.vocab_size
+        mask_token_id = min(103, vocab_size - 1)
+
+        def loss_fn(params, batch, rng, centroids, deterministic):
+            input_ids, attn, vfeats, vis_mask, labels = build_inputs_and_labels(
+                batch, rng, task, cfg, centroids, compute_dtype,
+                vocab_size=vocab_size, mask_token_id=mask_token_id)
+            B = input_ids.shape[0]
+            pos = jnp.broadcast_to(box_pos[None], (B,) + box_pos.shape)
+            out = model.apply(
+                {"params": params}, input_ids, vfeats, pos,
+                attention_mask=attn, vis_mask=vis_mask,
+                centroids=centroids,
+                word_embedding_matrix=get_word_embedding_matrix(params),
+                heads=heads, deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": jax.random.fold_in(rng, 1)})
+            losses = pretrain_losses(out, labels, task, cfg.visual_loss_keys,
+                                     cfg.task_qa)
+            metrics = {k: v for k, v in losses.items() if k != "qa_pred"}
+            if cfg.task_qa:
+                metrics["qa_pred"] = losses.get("qa_pred")
+            return losses["total_loss"], metrics
+
+        if train:
+            def step(state: TrainState, batch, rng, centroids):
+                rng = jax.random.fold_in(rng, state.step)
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, batch, rng,
+                                           centroids, False)
+                new_state = state.apply_gradients(grads)
+                metrics["grad_norm"] = optax.global_norm(grads)
+                return new_state, metrics
+
+            return jax.jit(step, donate_argnums=(0,))
+
+        def estep(params, batch, rng, centroids):
+            _, metrics = loss_fn(params, batch, rng, centroids, True)
+            return metrics
+
+        return jax.jit(estep)
+
+    def train_step(self, task: str):
+        if task not in self._train_steps:
+            self._train_steps[task] = self._make_step(task, train=True)
+        return self._train_steps[task]
+
+    def eval_step(self, task: str):
+        if task not in self._eval_steps:
+            self._eval_steps[task] = self._make_step(task, train=False)
+        return self._eval_steps[task]
+
+    # -- data placement -------------------------------------------------------
+    def place(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    def task_for_step(self, step: int) -> str:
+        mods = self.cfg.mask_modalities
+        return mods[step % len(mods)]
