@@ -1,0 +1,174 @@
+"""Shared finetune engine for VQA / GQA / NLVR2.
+
+The reference copy-pastes one Trainer per task (tasks/vqa.py:28-327,
+gqa.py:28-291, nlvr2.py:27-338 — "No shared trainer abstraction exists",
+SURVEY.md §1). Here a single engine covers all three, parameterized by:
+  - loss: BCE-with-logits vs soft targets (VQA/GQA, vqa.py:73,187) or
+    CE vs hard labels (NLVR2, nlvr2.py:72,171)
+  - model: VQAModel (pooled CLS head) or NLVR2Model (2-image concat)
+
+Optimization matches the reference: AdamW + linear warmup/decay, grad clip,
+update_freq accumulation (vqa.py:152-159), best/last checkpointing
+(vqa.py:239-257).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from xlxmert_tpu.core.config import FinetuneConfig, LxmertConfig
+from xlxmert_tpu.core.optim import make_optimizer
+from xlxmert_tpu.models.task_heads import NLVR2Model, VQAModel
+from xlxmert_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from xlxmert_tpu.tasks.pretrain import TrainState
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary CE with logits vs soft targets (torch BCEWithLogitsLoss
+    default reduction='mean' — vqa.py:73)."""
+    logits = logits.astype(jnp.float32)
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -(targets * log_p + (1.0 - targets) * log_not_p).mean()
+
+
+def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+
+
+class FinetuneEngine:
+    """task in {"vqa", "gqa", "nlvr2"}."""
+
+    def __init__(self, cfg: FinetuneConfig, num_answers: int,
+                 model_cfg: Optional[LxmertConfig] = None,
+                 total_steps: int = 10_000, mesh=None):
+        self.cfg = cfg
+        self.task = cfg.task
+        self.num_answers = num_answers
+        self.model_cfg = model_cfg or LxmertConfig()
+        self.compute_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        if self.task == "nlvr2":
+            self.model = NLVR2Model(self.model_cfg, num_answers,
+                                    dtype=self.compute_dtype)
+        else:
+            self.model = VQAModel(self.model_cfg, num_answers,
+                                  dtype=self.compute_dtype)
+        self.tx = make_optimizer(cfg.lr, total_steps, cfg.warmup_ratio,
+                                 cfg.weight_decay, cfg.clip_grad_norm,
+                                 cfg.adam_eps, cfg.update_freq)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh_shape, cfg.mesh_axis_names)
+        self._train_step = None
+        self._predict_step = None
+
+    # -- init ---------------------------------------------------------------
+    def _dummy_inputs(self, B=2):
+        L, V = self.cfg.max_text_length, self.cfg.n_grids
+        D = self.model_cfg.visual_feat_dim
+        ids = jnp.ones((B, L), jnp.int32)
+        if self.task == "nlvr2":
+            feats = jnp.zeros((B, 2, V, D))
+            pos = jnp.zeros((B, 2, V, 4))
+        else:
+            feats = jnp.zeros((B, V, D))
+            pos = jnp.zeros((B, V, 4))
+        return ids, feats, pos, jnp.ones((B, L))
+
+    def init_params(self, rng):
+        ids, feats, pos, mask = self._dummy_inputs()
+        return self.model.init(rng, ids, feats, pos,
+                               attention_mask=mask, deterministic=True)["params"]
+
+    def create_state(self, rng, params=None) -> TrainState:
+        params = params if params is not None else self.init_params(rng)
+        return replicate(TrainState.create(params, self.tx), self.mesh)
+
+    def load_pretrained(self, params, pretrain_params, label2ans=None,
+                        answer_table=None):
+        """Overlay converted pretrain weights (bert + optional QA-head
+        surgery) onto freshly-initialized finetune params."""
+        new = dict(params)
+        if "bert" in pretrain_params:
+            new["bert"] = pretrain_params["bert"]
+        if (label2ans is not None and answer_table is not None
+                and "answer_head" in pretrain_params):
+            from xlxmert_tpu.data.answer_table import surgery_answer_head
+
+            merged, counts = surgery_answer_head(
+                pretrain_params, new, answer_table, label2ans)
+            return merged, counts
+        return new, None
+
+    # -- steps ----------------------------------------------------------------
+    def train_step(self):
+        if self._train_step is not None:
+            return self._train_step
+        model, task = self.model, self.task
+
+        def loss_fn(params, batch, rng):
+            logits = model.apply(
+                {"params": params}, batch["word_ids"], batch["vis_feats"],
+                batch["boxes"],
+                attention_mask=(batch["word_ids"] > 0).astype(jnp.float32),
+                deterministic=False, rngs={"dropout": rng})
+            if task == "nlvr2":
+                loss = softmax_ce(logits, batch["labels"])
+            else:
+                loss = bce_with_logits(logits, batch["targets"])
+            acc_pred = jnp.argmax(logits, axis=-1)
+            return loss, acc_pred
+
+        def step(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            (loss, pred), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, rng)
+            new_state = state.apply_gradients(grads)
+            metrics = {"loss": loss, "pred": pred,
+                       "grad_norm": optax.global_norm(grads)}
+            return new_state, metrics
+
+        self._train_step = jax.jit(step, donate_argnums=(0,))
+        return self._train_step
+
+    def predict_step(self):
+        if self._predict_step is not None:
+            return self._predict_step
+        model = self.model
+
+        def step(params, batch):
+            logits = model.apply(
+                {"params": params}, batch["word_ids"], batch["vis_feats"],
+                batch["boxes"],
+                attention_mask=(batch["word_ids"] > 0).astype(jnp.float32),
+                deterministic=True)
+            return jnp.argmax(logits, axis=-1), logits
+
+        self._predict_step = jax.jit(step)
+        return self._predict_step
+
+    def place(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    # -- loops ----------------------------------------------------------------
+    def predict(self, params, batches: Iterable[Dict[str, Any]],
+                label2ans=None) -> Dict[Any, Any]:
+        """Run prediction over host batches; returns quesid->answer
+        (mapped through label2ans when given, else raw label ids).
+        Mirrors Trainer.predict (vqa.py:259-295)."""
+        step = self.predict_step()
+        quesid2ans: Dict[Any, Any] = {}
+        for batch in batches:
+            qids = batch.pop("question_ids")
+            n_valid = batch.pop("n_valid", len(qids))
+            preds, _ = step(params, self.place(batch))
+            preds = np.asarray(preds)
+            for i, qid in enumerate(qids[:n_valid]):
+                p = int(preds[i])
+                quesid2ans[qid] = label2ans[p] if label2ans is not None else p
+        return quesid2ans
