@@ -1,0 +1,300 @@
+"""Per-task datasets producing fixed-shape numpy batches.
+
+Mirrors the reference Dataset/collate/Evaluator triples (SURVEY.md §1 L2):
+  - VQA:  data/vqa/{split}.json + trainval_ans2label/label2ans
+    (vqa_data.py:20-222), soft-target vectors (:209-218)
+  - GQA:  data/gqa/{split}.json + ans2label (gqa_data.py:20-207)
+  - NLVR2: data/nlvr2/{split}.json, two images/example (nlvr2_data.py:56-196)
+  - Pretrain: caption corpora data/lxmert/{source}.json flattened to
+    (img_id, sentence) pairs (lxmert_data.py:45-95,102-494), matched-task
+    negative sentence sampling (:346-364), cluster-id visual input.
+
+Static-shape discipline (SURVEY.md §7): text pads to max_text_length, the
+final partial batch pads to full batch size and reports `n_valid`; masking
+happens on device (ops/masking.py), so these classes only assemble ids,
+features, and labels.
+
+Multi-host: `shard(process_index, process_count)` slices the example list
+per host — the jax.make_array_from_process_local_data-side contract that
+replaces DistributedSampler (lxmert_data.py:663-667).
+"""
+from __future__ import annotations
+
+import random
+from pathlib import Path
+from typing import Any, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from xlxmert_tpu.data.evaluators import GQAEvaluator, NLVR2Evaluator, VQAEvaluator
+from xlxmert_tpu.data.io import ClusterMap, GridFeatureReader, load_json
+from xlxmert_tpu.data.tokenization import Tokenizer
+from xlxmert_tpu.utils.boxes import box_position
+
+
+def _pad_batch(arrs: List[np.ndarray], batch_size: int) -> np.ndarray:
+    """Stack and pad the final partial batch by repeating the last row."""
+    out = np.stack(arrs)
+    if len(arrs) < batch_size:
+        reps = np.repeat(out[-1:], batch_size - len(arrs), axis=0)
+        out = np.concatenate([out, reps])
+    return out
+
+
+class _QABase:
+    """Shared machinery for VQA/GQA-style datasets."""
+
+    def __init__(self, data: List[dict], tokenizer: Tokenizer,
+                 feat_reader: GridFeatureReader, ans2label: Dict[str, int],
+                 label2ans: List[str], max_text_length: int = 20,
+                 grid_size: int = 8, topk: int = -1):
+        if topk and topk > 0:
+            data = data[:topk]
+        self.data = data
+        self.tokenizer = tokenizer
+        self.feat = feat_reader
+        self.ans2label = ans2label
+        self.label2ans = label2ans
+        self.max_text_length = max_text_length
+        self.grid_size = grid_size
+        self.boxes = box_position(grid_size)
+        self.id2datum = {d["question_id"]: d for d in data}
+        self.num_answers = len(ans2label)
+
+    def __len__(self):
+        return len(self.data)
+
+    def shard(self, process_index: int, process_count: int):
+        self.data = self.data[process_index::process_count]
+        return self
+
+    def _target(self, datum) -> np.ndarray:
+        """Soft-score target vector (vqa_data.py:209-218)."""
+        t = np.zeros((self.num_answers,), np.float32)
+        for ans, score in datum.get("label", {}).items():
+            if ans in self.ans2label:
+                t[self.ans2label[ans]] = score
+        return t
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                seed: int = 0, test: bool = False) -> Iterable[Dict[str, Any]]:
+        order = list(range(len(self.data)))
+        if shuffle:
+            random.Random(seed).shuffle(order)
+        V = self.grid_size ** 2
+        for s in range(0, len(order), batch_size):
+            idxs = order[s:s + batch_size]
+            data = [self.data[i] for i in idxs]
+            word_ids = self.tokenizer.encode_batch(
+                [d["sent"] for d in data], self.max_text_length)
+            feats = [self.feat.get(d["img_id"]).reshape(V, -1) for d in data]
+            batch = {
+                "question_ids": [d["question_id"] for d in data],
+                "n_valid": len(data),
+                "word_ids": _pad_batch(list(word_ids), batch_size),
+                "vis_feats": _pad_batch(feats, batch_size),
+                "boxes": np.broadcast_to(
+                    self.boxes[None], (batch_size, V, 4)).copy(),
+            }
+            if not test:
+                batch["targets"] = _pad_batch(
+                    [self._target(d) for d in data], batch_size)
+            yield batch
+
+
+class VQADataset(_QABase):
+    """data/vqa/{split}.json (+ trainval_ans2label/label2ans)."""
+
+    @classmethod
+    def from_files(cls, data_root, splits: str, tokenizer,
+                   encoder: str = "maskrcnn", grid_size: int = 8, **kw):
+        root = Path(data_root)
+        data: List[dict] = []
+        for split in splits.split(","):
+            data.extend(load_json(root / "vqa" / f"{split}.json"))
+        ans2label = load_json(root / "vqa" / "trainval_ans2label.json")
+        label2ans = load_json(root / "vqa" / "trainval_label2ans.json")
+        # h5 routing per split family (vqa_data.py:105-118)
+        split0 = splits.split(",")[0]
+        h5_split = ("train" if "train" in split0
+                    else "valid" if ("nominival" in split0 or "minival" in split0)
+                    else "test")
+        feat = GridFeatureReader(
+            root / "mscoco_imgfeat" / f"{encoder}_{h5_split}_grid{grid_size}.h5")
+        ds = cls(data, tokenizer, feat, ans2label, label2ans,
+                 grid_size=grid_size, **kw)
+        ds.evaluator = VQAEvaluator(ds.id2datum)
+        return ds
+
+
+class GQADataset(_QABase):
+    """data/gqa/{split}.json; single vg_gqa h5 (gqa_data.py:66-207)."""
+
+    @classmethod
+    def from_files(cls, data_root, splits: str, tokenizer,
+                   encoder: str = "maskrcnn", grid_size: int = 8, **kw):
+        root = Path(data_root)
+        data: List[dict] = []
+        for split in splits.split(","):
+            data.extend(load_json(root / "gqa" / f"{split}.json"))
+        ans2label = load_json(root / "gqa" / "trainval_ans2label.json")
+        label2ans = load_json(root / "gqa" / "trainval_label2ans.json")
+        feat = GridFeatureReader(
+            root / "vg_gqa_imgfeat" / f"{encoder}_vg_gqa_grid{grid_size}.h5")
+        ds = cls(data, tokenizer, feat, ans2label, label2ans,
+                 grid_size=grid_size, **kw)
+        ds.evaluator = GQAEvaluator(ds.id2datum)
+        return ds
+
+
+class NLVR2Dataset:
+    """data/nlvr2/{split}.json: {uid, img0, img1, sent, label, identifier}
+    (nlvr2_data.py:20-196). Batches carry (B, 2, V, D) features."""
+
+    def __init__(self, data: List[dict], tokenizer: Tokenizer,
+                 feat_reader: GridFeatureReader, max_text_length: int = 20,
+                 grid_size: int = 8, topk: int = -1):
+        if topk and topk > 0:
+            data = data[:topk]
+        self.data = data
+        self.tokenizer = tokenizer
+        self.feat = feat_reader
+        self.max_text_length = max_text_length
+        self.grid_size = grid_size
+        self.boxes = box_position(grid_size)
+        self.id2datum = {d["uid"]: d for d in data}
+        self.evaluator = NLVR2Evaluator(self.id2datum)
+
+    @classmethod
+    def from_files(cls, data_root, splits: str, tokenizer,
+                   encoder: str = "maskrcnn", grid_size: int = 8, **kw):
+        root = Path(data_root)
+        data: List[dict] = []
+        for split in splits.split(","):
+            data.extend(load_json(root / "nlvr2" / f"{split}.json"))
+        split0 = splits.split(",")[0]
+        feat = GridFeatureReader(
+            root / "nlvr2_imgfeat" / f"{encoder}_{split0}_grid{grid_size}.h5")
+        return cls(data, tokenizer, feat, grid_size=grid_size, **kw)
+
+    def __len__(self):
+        return len(self.data)
+
+    def shard(self, process_index: int, process_count: int):
+        self.data = self.data[process_index::process_count]
+        return self
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
+                test: bool = False):
+        order = list(range(len(self.data)))
+        if shuffle:
+            random.Random(seed).shuffle(order)
+        V = self.grid_size ** 2
+        for s in range(0, len(order), batch_size):
+            data = [self.data[i] for i in order[s:s + batch_size]]
+            word_ids = self.tokenizer.encode_batch(
+                [d["sent"] for d in data], self.max_text_length)
+            feats = [np.stack([self.feat.get(d["img0"]).reshape(V, -1),
+                               self.feat.get(d["img1"]).reshape(V, -1)])
+                     for d in data]
+            batch = {
+                "question_ids": [d["uid"] for d in data],
+                "n_valid": len(data),
+                "word_ids": _pad_batch(list(word_ids), batch_size),
+                "vis_feats": _pad_batch(feats, batch_size),
+                "boxes": np.broadcast_to(
+                    self.boxes[None, None], (batch_size, 2, V, 4)).copy(),
+            }
+            if not test:
+                batch["labels"] = _pad_batch(
+                    [np.int32(d["label"]) for d in data], batch_size)
+            yield batch
+
+
+class PretrainDataset:
+    """Caption corpora flattened to (img_id, sent) pairs with cluster-id
+    visual input and matched-task negative sampling
+    (lxmert_data.py:45-95,102-494).
+
+    Data layout per source json: [{img_id, sentf: {source: [sents]},
+    labelf: {source: [{ans: score}]}}, ...].
+    """
+
+    def __init__(self, corpus: List[dict], tokenizer: Tokenizer,
+                 cluster_map: ClusterMap,
+                 feat_reader: Optional[GridFeatureReader] = None,
+                 max_text_length: int = 20, grid_size: int = 8,
+                 topk: int = -1,
+                 coco_only_sources: Optional[set] = None):
+        self.tokenizer = tokenizer
+        self.clusters = cluster_map
+        self.feat = feat_reader
+        self.max_text_length = max_text_length
+        self.grid_size = grid_size
+        # flatten captions (lxmert_data.py:45-95)
+        self.examples: List[dict] = []
+        for datum in corpus:
+            img_id = datum["img_id"]
+            if img_id not in cluster_map:
+                continue
+            for source, sents in datum.get("sentf", {}).items():
+                labels = datum.get("labelf", {}).get(source)
+                for i, sent in enumerate(sents):
+                    ex = {"uid": f"{img_id}_{source}_{i}", "img_id": img_id,
+                          "sent": sent, "source": source}
+                    if labels is not None and i < len(labels) and labels[i]:
+                        ex["label"] = labels[i]
+                    self.examples.append(ex)
+        if topk and topk > 0:
+            self.examples = self.examples[:topk]
+
+    def __len__(self):
+        return len(self.examples)
+
+    def shard(self, process_index: int, process_count: int):
+        self.examples = self.examples[process_index::process_count]
+        return self
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
+                with_feats: bool = False):
+        rng = random.Random(seed)
+        order = list(range(len(self.examples)))
+        if shuffle:
+            rng.shuffle(order)
+        n = len(self.examples)
+        V = self.grid_size ** 2
+        for s in range(0, len(order), batch_size):
+            data = [self.examples[i] for i in order[s:s + batch_size]]
+            word_ids = self.tokenizer.encode_batch(
+                [d["sent"] for d in data], self.max_text_length)
+            # matched-task negatives: prob 0.5 swap in a random other
+            # sentence, label 0 (lxmert_data.py:346-364)
+            other_sents, matched = [], []
+            for d in data:
+                if rng.random() < 0.5 and n > 1:
+                    while True:
+                        o = self.examples[rng.randrange(n)]
+                        if o["img_id"] != d["img_id"]:
+                            break
+                    other_sents.append(o["sent"])
+                    matched.append(0)
+                else:
+                    other_sents.append(d["sent"])
+                    matched.append(1)
+            other_ids = self.tokenizer.encode_batch(
+                other_sents, self.max_text_length)
+            cluster_ids = [self.clusters.get(d["img_id"]) for d in data]
+            batch = {
+                "uids": [d["uid"] for d in data],
+                "n_valid": len(data),
+                "word_id": _pad_batch(list(word_ids), batch_size),
+                "other_word_id": _pad_batch(list(other_ids), batch_size),
+                "matched_label": _pad_batch(
+                    [np.int32(m) for m in matched], batch_size),
+                "cluster_id": _pad_batch(cluster_ids, batch_size),
+            }
+            if with_feats and self.feat is not None:
+                feats = [self.feat.get(d["img_id"]).reshape(V, -1)
+                         for d in data]
+                batch["vis_feats"] = _pad_batch(feats, batch_size)
+            yield batch
