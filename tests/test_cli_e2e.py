@@ -1,0 +1,176 @@
+"""End-to-end CLI pipeline on synthetic fixtures (8-device CPU mesh):
+extract_features -> run_kmeans -> pretrain -> vqa finetune/test ->
+sample_images. This drives the user-facing surface of every stage of the
+framework exactly the way the reference bash scripts do (SURVEY.md §3)."""
+import json
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from xlxmert_tpu.core.config import LxmertConfig
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "a", "dog", "cat", "runs", "sits", "red", "blue", "park", "ball"]
+GRID = 2  # 64px images -> resnet layer4 is 2x2
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    """Shared fixture dir with images, vocab, corpora, model config."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("world")
+    (root / "images").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(12):
+        arr = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        Image.fromarray(arr).save(root / "images" / f"img{i:02d}.png")
+
+    (root / "vocab.txt").write_text("\n".join(VOCAB) + "\n")
+
+    model_cfg = LxmertConfig(
+        vocab_size=len(VOCAB), hidden_size=32, num_attention_heads=4,
+        intermediate_size=64, l_layers=1, x_layers=1, r_layers=1,
+        visual_feat_dim=2048, num_qa_labels=3, num_clusters=10)
+    model_cfg.save(str(root / "model.yaml"))
+
+    img_ids = [f"img{i:02d}" for i in range(12)]
+    # pretrain corpus
+    (root / "lxmert").mkdir()
+    corpus = [{"img_id": i, "sentf": {"mscoco": ["a dog runs", "a red ball"]}}
+              for i in img_ids]
+    (root / "lxmert" / "mscoco_train.json").write_text(json.dumps(corpus))
+    (root / "lxmert" / "mscoco_minival.json").write_text(
+        json.dumps(corpus[:4]))
+
+    # vqa fixtures
+    (root / "vqa").mkdir()
+    vqa = [{"question_id": q, "img_id": img_ids[q % 12],
+            "sent": "a dog runs in a park",
+            "label": {"dog": 1.0}} for q in range(16)]
+    (root / "vqa" / "train.json").write_text(json.dumps(vqa))
+    (root / "vqa" / "minival.json").write_text(json.dumps(vqa[:8]))
+    (root / "vqa" / "trainval_ans2label.json").write_text(
+        json.dumps({"dog": 0, "cat": 1, "red": 2}))
+    (root / "vqa" / "trainval_label2ans.json").write_text(
+        json.dumps(["dog", "cat", "red"]))
+
+    (root / "sentences.txt").write_text("a dog runs\na red ball\n")
+    return root
+
+
+def test_step1_extract_features(world):
+    from xlxmert_tpu.cli.extract_features import main
+
+    out = world / "mscoco_imgfeat" / "maskrcnn_train_grid2.h5"
+    main(["--images_dir", str(world / "images"), "--out", str(out),
+          "--grid_size", str(GRID), "--image_size", "64",
+          "--batch_size", "4"])
+    import h5py
+
+    with h5py.File(out) as f:
+        assert len(f.keys()) == 12
+        assert f["img00"]["features"].shape == (GRID, GRID, 2048)
+
+
+def test_step2_kmeans(world):
+    from xlxmert_tpu.cli.run_kmeans import main
+
+    h5 = world / "mscoco_imgfeat" / "maskrcnn_train_grid2.h5"
+    main(["--src_h5", str(h5), "--out_dir", str(world / "cluster_centroids"),
+          "--cluster_dir", str(world / "cluster_ids"),
+          "--n_centroids", "10", "--n_iter", "3",
+          "--grid_size", str(GRID)])
+    cpath = (world / "cluster_centroids" /
+             "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
+    assert cpath.exists()
+    assert np.load(cpath).shape == (10, 2048)
+    import pickle
+
+    pkl = (world / "cluster_ids" /
+           "maskrcnn_train_grid2_img_id_to_cluster_id_10_iter3_d2048"
+           "_grid2.pkl")
+    with open(pkl, "rb") as f:
+        mapping = pickle.load(f)
+    assert len(mapping) == 12 and mapping["img00"].shape == (GRID * GRID,)
+
+
+def test_step3_pretrain(world):
+    from xlxmert_tpu.cli.pretrain import main
+
+    cpath = (world / "cluster_centroids" /
+             "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
+    pkl = (world / "cluster_ids" /
+           "maskrcnn_train_grid2_img_id_to_cluster_id_10_iter3_d2048"
+           "_grid2.pkl")
+    main(["--taskMaskLM", "--taskObjPredict", "--taskMatched",
+          "--visualLosses", "obj", "--vis_mask_predict", "--clustering",
+          "--grid_model", "--grid_size", str(GRID),
+          "--num_clusters", "10", "--epochs", "1", "--batchSize", "8",
+          "--train", "mscoco_train", "--valid", "mscoco_minival",
+          "--data_root", str(world), "--vocab", str(world / "vocab.txt"),
+          "--centroid_path", str(cpath), "--cluster_pkl", str(pkl),
+          "--model_config", str(world / "model.yaml"),
+          "--output", str(world / "snap_pretrain"), "--fp32",
+          "--seed", "1"])
+    assert (world / "snap_pretrain" / "Epoch01_LXRT.msgpack").exists()
+    assert (world / "snap_pretrain" / "log.txt").exists()
+    scalars = [json.loads(l) for l in
+               open(world / "snap_pretrain" / "scalars.jsonl")]
+    assert any("valid/vis_mask" in s for s in scalars)
+
+
+def test_step4_vqa_finetune_and_test(world):
+    from xlxmert_tpu.cli.vqa import main
+
+    # valid/minival splits route to the *_valid_* h5 (vqa_data.py:105-118)
+    valid_h5 = world / "mscoco_imgfeat" / "maskrcnn_valid_grid2.h5"
+    if not valid_h5.exists():
+        valid_h5.symlink_to(world / "mscoco_imgfeat" /
+                            "maskrcnn_train_grid2.h5")
+
+    args = ["--train", "train", "--valid", "minival",
+            "--epochs", "1", "--batchSize", "8",
+            "--data_root", str(world), "--vocab", str(world / "vocab.txt"),
+            "--model_config", str(world / "model.yaml"),
+            "--grid_size", str(GRID),
+            "--load_lxmert" if False else "--loadLXMERT",
+            str(world / "snap_pretrain" / "Epoch01_LXRT.msgpack"),
+            "--output", str(world / "snap_vqa"), "--fp32"]
+    main(args)
+    assert (world / "snap_vqa" / "BEST.msgpack").exists()
+
+    # test mode: prediction dump
+    main(["--test", "minival", "--batchSize", "8",
+          "--data_root", str(world), "--vocab", str(world / "vocab.txt"),
+          "--model_config", str(world / "model.yaml"),
+          "--grid_size", str(GRID),
+          "--load", str(world / "snap_vqa" / "BEST.msgpack"),
+          "--output", str(world / "snap_vqa"), "--fp32"])
+    preds = json.loads((world / "snap_vqa" /
+                        "vqa_minival_predict.json").read_text())
+    assert len(preds) == 8
+    assert all(p["answer"] in ("dog", "cat", "red") for p in preds)
+
+
+def test_step5_sample_images(world):
+    from xlxmert_tpu.cli.sample_images import main
+
+    cpath = (world / "cluster_centroids" /
+             "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
+    main(["--load", str(world / "snap_pretrain" / "Epoch01_LXRT.msgpack"),
+          "--centroids", str(cpath),
+          "--vocab", str(world / "vocab.txt"),
+          "--sentences", str(world / "sentences.txt"),
+          "--model_config", str(world / "model.yaml"),
+          "--grid_size", str(GRID), "--sample_steps", "2",
+          "--batch_size", "2",
+          "--output", str(world / "samples")])
+    codes = sorted((world / "samples").glob("codes_*.npy"))
+    assert codes, "no code grids written"
+    arr = np.load(codes[0])
+    assert arr.shape == (2, GRID * GRID)
+    assert (arr >= 0).all() and (arr < 10).all()

@@ -1,0 +1,142 @@
+"""Pretraining CLI — the `bash scripts/pretrain.bash` equivalent
+(reference lxmert_pretrain.py:688-867).
+
+python -m xlxmert_tpu.cli.pretrain --taskMaskLM --taskObjPredict \
+    --taskMatched --visualLosses obj --vis_mask_predict --clustering \
+    --grid_model --grid_size 8 --llayers 9 --rlayers 5 --xlayers 5 \
+    --lr 1e-4 --epochs 20 --batchSize 256 --train mscoco_train,... \
+    --data_root data --vocab data/vocab.txt
+
+Replaces mp.spawn/DDP with one SPMD program; masking happens on device.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    from xlxmert_tpu.cli.args import base_parser, to_train_config
+
+    ns = base_parser().parse_args(argv)
+    cfg = to_train_config(ns)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.core.checkpoint import (
+        epoch_ckpt_name, load_any_checkpoint, parse_start_epoch, save_pytree,
+    )
+    from xlxmert_tpu.core.config import LxmertConfig
+    from xlxmert_tpu.core.metrics import LossMeter, RunLogger
+    from xlxmert_tpu.data.datasets import PretrainDataset
+    from xlxmert_tpu.data.io import ClusterMap, PrefetchLoader, load_json
+    from xlxmert_tpu.data.tokenization import Tokenizer
+    from xlxmert_tpu.tasks.pretrain import PretrainEngine, TrainState
+    from xlxmert_tpu.vocab.kmeans import centroid_filename
+
+    is_main = jax.process_index() == 0
+    logger = RunLogger(cfg.output, cfg, enabled=is_main)
+    logger.info(f"devices: {jax.devices()}")
+
+    from xlxmert_tpu.cli.args import make_model_config
+
+    model_cfg = make_model_config(
+        ns, num_clusters=cfg.num_clusters if cfg.clustering else 0)
+
+    tokenizer = Tokenizer(ns.vocab)
+    root = Path(ns.data_root)
+
+    # centroids (lxmert_pretrain.py:70-77 path convention)
+    centroid_path = ns.centroid_path or root / "cluster_centroids" / \
+        centroid_filename(cfg.encoder, cfg.cluster_src, cfg.num_clusters,
+                          cfg.kmeans_iterations, cfg.feat_dim, cfg.grid_size)
+    centroids = jnp.asarray(np.load(centroid_path))
+
+    cluster_pkl = ns.cluster_pkl or root / "cluster_ids" / \
+        f"{cfg.encoder}_train_img_id_to_cluster_id_{cfg.num_clusters}" \
+        f"_iter{cfg.kmeans_iterations}_d{cfg.feat_dim}_grid{cfg.grid_size}.pkl"
+    clusters = ClusterMap(cluster_pkl)
+
+    corpus = []
+    for source in cfg.train.split(","):
+        corpus.extend(load_json(root / "lxmert" / f"{source}.json"))
+    train_ds = PretrainDataset(
+        corpus, tokenizer, clusters, max_text_length=cfg.max_text_length,
+        grid_size=cfg.grid_size, topk=cfg.train_topk)
+    train_ds.shard(jax.process_index(), jax.process_count())
+
+    valid_corpus = []
+    for source in cfg.valid.split(","):
+        valid_corpus.extend(load_json(root / "lxmert" / f"{source}.json"))
+    valid_ds = PretrainDataset(
+        valid_corpus, tokenizer, clusters,
+        max_text_length=cfg.max_text_length, grid_size=cfg.grid_size,
+        topk=cfg.valid_topk)
+
+    steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+    total_steps = steps_per_epoch * cfg.epochs
+    eng = PretrainEngine(cfg, model_cfg=model_cfg, total_steps=total_steps)
+    logger.info(f"{len(train_ds)} examples, {steps_per_epoch} steps/epoch, "
+                f"tasks {cfg.mask_modalities}")
+
+    state = eng.create_state(jax.random.PRNGKey(cfg.seed))
+    start_epoch = 0
+    if cfg.load:
+        params = load_any_checkpoint(cfg.load)
+        state = state.replace(params=jax.device_put(
+            jax.tree.map(jnp.asarray, params), state.params[
+                "bert"]["pooler"]["dense"]["kernel"].sharding))
+        start_epoch = parse_start_epoch(cfg.load)
+        logger.info(f"resumed from {cfg.load} at epoch {start_epoch}")
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    meters = {}
+    global_step = start_epoch * steps_per_epoch
+
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        loader = PrefetchLoader(
+            lambda: train_ds.batches(cfg.batch_size, shuffle=True,
+                                     seed=cfg.seed + epoch))
+        if not cfg.dry:
+            for i, batch in enumerate(loader):
+                batch.pop("uids", None)
+                batch.pop("n_valid", None)
+                task = eng.task_for_step(global_step)
+                state, metrics = eng.train_step(task)(
+                    state, eng.place(batch), rng, centroids)
+                if is_main and (i % 50 == 0):
+                    loss = float(np.asarray(metrics["total_loss"]))
+                    meters.setdefault(task, LossMeter()).update(loss)
+                    logger.scalars(global_step, {
+                        f"{task}/loss": loss,
+                        "grad_norm": float(np.asarray(metrics["grad_norm"]))})
+                global_step += 1
+
+        # eval epoch (lxmert_pretrain.py:553-673)
+        eval_metrics = {}
+        for i, batch in enumerate(valid_ds.batches(cfg.batch_size)):
+            batch.pop("uids", None)
+            batch.pop("n_valid", None)
+            for task in cfg.mask_modalities:
+                m = eng.eval_step(task)(state.params, eng.place(batch),
+                                        jax.random.PRNGKey(epoch), centroids)
+                eval_metrics.setdefault(task, LossMeter()).update(
+                    float(np.asarray(m["total_loss"])))
+        if is_main:
+            summary = {f"valid/{t}": m.val for t, m in eval_metrics.items()}
+            logger.scalars(global_step, summary)
+            logger.info(f"epoch {epoch}: {summary} "
+                        f"({time.time() - t0:.0f}s)")
+            save_pytree(jax.tree.map(np.asarray, state.params),
+                        str(Path(cfg.output) / epoch_ckpt_name(epoch + 1)))
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

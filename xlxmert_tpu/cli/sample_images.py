@@ -1,0 +1,163 @@
+"""Text-to-image sampling CLI (reference scripts/sample_images.sh +
+src/tasks/sample_images.py:27-104 — which as shipped has a SyntaxError;
+this implements the unambiguous intent).
+
+python -m xlxmert_tpu.cli.sample_images \
+    --load snap/pretrained/x_lxmert/Epoch20_LXRT.pth \
+    --centroids data/cluster_centroids/maskrcnn_..._grid8.npy \
+    --generator snap/pretrained/G_60.pth \
+    --sentences example_sentences.txt --sample_steps 4 --output samples
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--load", required=True, help="X-LXMERT checkpoint "
+                   "(.pth or .msgpack)")
+    p.add_argument("--centroids", default=None,
+                   help="centroid .npy (falls back to vis_emb in the ckpt)")
+    p.add_argument("--generator", default=None,
+                   help="generator checkpoint (G_60.pth or .msgpack); "
+                   "omit to dump code grids without rendering")
+    p.add_argument("--vocab", default="data/vocab.txt")
+    p.add_argument("--sentences", default="example_sentences.txt")
+    p.add_argument("--output", default="samples")
+    p.add_argument("--sample_steps", type=int, default=4)
+    p.add_argument("--sample_mode", choices=["NAR", "AR"], default="NAR")
+    p.add_argument("--position_strategy", default="confidence",
+                   choices=["confidence", "TLBR", "random"])
+    p.add_argument("--grid_size", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--max_text_length", type=int, default=20)
+    p.add_argument("--target_size", type=int, default=256)
+    p.add_argument("--g_base_dim", type=int, default=32)
+    p.add_argument("--codebook_dim", type=int, default=256)
+    p.add_argument("--seed", type=int, default=9595)
+    p.add_argument("--model_config", default=None,
+                   help="LxmertConfig yaml (defaults to full size)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    ns = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.core.checkpoint import load_any_checkpoint
+    from xlxmert_tpu.core.config import LxmertConfig
+    from xlxmert_tpu.core.convert import load_torch_checkpoint
+    from xlxmert_tpu.data.tokenization import Tokenizer
+    from xlxmert_tpu.models.gan import Generator
+    from xlxmert_tpu.models.xlxmert import XLxmert
+    from xlxmert_tpu.tasks.sampling import make_ar_sampler, make_nar_sampler
+
+    t0 = time.time()
+    ckpt = load_any_checkpoint(ns.load)
+    if ns.centroids:
+        centroids = np.load(ns.centroids)
+    elif "vis_emb" in ckpt:
+        centroids = np.asarray(ckpt["vis_emb"]["embedding"])
+    else:
+        raise SystemExit("--centroids required (checkpoint has no vis_emb)")
+    centroids = jnp.asarray(centroids)
+    n_clusters, feat_dim = centroids.shape
+
+    if ns.model_config:
+        cfg = LxmertConfig.load(ns.model_config).replace(
+            num_clusters=n_clusters, visual_feat_dim=feat_dim)
+    else:
+        cfg = LxmertConfig(num_clusters=n_clusters, visual_feat_dim=feat_dim)
+    model = XLxmert(cfg, dtype=jnp.bfloat16)
+    params = {k: v for k, v in ckpt.items() if k in
+              ("bert", "obj_predict_head", "mask_feat")}
+    print(f"loaded checkpoint in {time.time()-t0:.1f}s")
+
+    tokenizer = Tokenizer(ns.vocab)
+    sentences = [l.strip() for l in open(ns.sentences) if l.strip()]
+    print(f"{len(sentences)} sentences")
+
+    if ns.sample_mode == "NAR":
+        sampler = make_nar_sampler(model, ns.sample_steps, ns.grid_size)
+    else:
+        strategy = ("order" if ns.position_strategy == "random"
+                    else ns.position_strategy)
+        sampler = make_ar_sampler(model, ns.grid_size, strategy)
+
+    renderer = None
+    if ns.generator:
+        gen = Generator(emb_dim=feat_dim, base_dim=ns.g_base_dim,
+                        target_size=ns.target_size, init_H=ns.grid_size,
+                        init_W=ns.grid_size, codebook_dim=ns.codebook_dim,
+                        dtype=jnp.bfloat16)
+        g_ckpt = load_any_checkpoint(ns.generator)
+        g_params, g_sn = split_generator_ckpt(g_ckpt)
+
+        @jax.jit
+        def renderer(code):
+            img = gen.apply({"params": g_params, "sn": g_sn}, code,
+                            train=False)
+            return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+    out_dir = Path(ns.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    B = ns.batch_size
+    rng = np.random.RandomState(ns.seed)
+    for s in range(0, len(sentences), B):
+        batch_sents = sentences[s:s + B]
+        pad = B - len(batch_sents)
+        ids = tokenizer.encode_batch(batch_sents + [""] * pad,
+                                     ns.max_text_length)
+        mask = (ids > 0).astype(np.float32)
+        t0 = time.time()
+        if ns.sample_mode == "AR" and ns.position_strategy == "random":
+            order = jnp.asarray(rng.permutation(ns.grid_size ** 2))
+            code, cluster_ids = sampler(params, centroids, jnp.asarray(ids),
+                                        jnp.asarray(mask), order)
+        elif ns.sample_mode == "AR":
+            code, cluster_ids = sampler(params, centroids, jnp.asarray(ids),
+                                        jnp.asarray(mask))
+        else:
+            code, cluster_ids, _ = sampler(params, centroids,
+                                           jnp.asarray(ids),
+                                           jnp.asarray(mask))
+        dt = time.time() - t0
+        print(f"sampled {len(batch_sents)} grids in {dt:.2f}s "
+              f"({len(batch_sents)/dt:.1f} samples/s)")
+        if renderer is not None:
+            imgs = np.asarray(renderer(code).astype(jnp.float32))
+            save_pngs(imgs[:len(batch_sents)], batch_sents, out_dir, s)
+        else:
+            np.save(out_dir / f"codes_{s:04d}.npy",
+                    np.asarray(cluster_ids[:len(batch_sents)]))
+    print(f"outputs in {out_dir}")
+
+
+def split_generator_ckpt(ckpt):
+    """Separate 'sn' (u/v vectors) from params in a converted generator
+    checkpoint tree (torch SN checkpoints carry weight_u/weight_v)."""
+    from xlxmert_tpu.core.convert import split_variables
+
+    cols = split_variables(ckpt)
+    return cols.get("params", {}), cols.get("sn", {})
+
+
+def save_pngs(imgs, sentences, out_dir: Path, offset: int):
+    from PIL import Image
+
+    for i, (img, sent) in enumerate(zip(imgs, sentences)):
+        arr = (img * 255).astype(np.uint8)
+        name = "".join(c if c.isalnum() or c == " " else "" for c in sent)
+        name = "_".join(name.split())[:60] or f"sample_{offset + i}"
+        Image.fromarray(arr).save(out_dir / f"{offset + i:04d}_{name}.png")
+
+
+if __name__ == "__main__":
+    main()

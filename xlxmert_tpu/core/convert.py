@@ -36,6 +36,7 @@ _EMBEDDING_PARENTS = frozenset({
 _TIED_KEYS = frozenset({
     "cls.predictions.decoder.weight",
     "obj_predict_head.out_cluster.weight",
+    "emb_classifier.weight",  # ACGAN classifier tied to centroids
 })
 
 
@@ -85,13 +86,21 @@ def convert_torch_state_dict(
     for key, tensor in sd.items():
         if drop_tied and key in _TIED_KEYS:
             continue
+        if key.endswith("num_batches_tracked"):
+            continue  # BN bookkeeping, unused
         arr = _to_numpy(tensor)
         path = list(_fold_indices(key))
         leaf = path[-1]
+        if leaf == "running_mean":
+            path[-1] = "mean"
+        elif leaf == "running_var":
+            path[-1] = "var"
 
         if key == "obj_predict_head.out_cluster.bias":
             path = ["obj_predict_head", "out_cluster_bias"]
-        elif leaf == "weight":
+        elif key == "emb_classifier.bias":
+            path = ["emb_classifier_bias"]
+        elif leaf in ("weight", "weight_orig"):  # weight_orig: torch SN
             parent = path[-2] if len(path) >= 2 else ""
             if arr.ndim == 1:
                 path[-1] = "scale"  # LayerNorm / InstanceNorm / NoiseInjection
@@ -123,6 +132,29 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
             not hasattr(v, "shape") for k, v in sd.items() if k != "state_dict"):
         sd = sd["state_dict"]
     return convert_torch_state_dict(sd)
+
+
+def split_variables(tree: Dict[str, Any]) -> Dict[str, Dict]:
+    """Split a converted tree into flax variable collections:
+    {'params': ..., 'batch_stats': ... (BN mean/var), 'sn': ...
+    (spectral-norm u/v)}. Empty collections are omitted."""
+    def walk(node, out):
+        for k, v in node.items():
+            if isinstance(v, Mapping) or isinstance(v, dict):
+                sub: Dict[str, Dict] = {}
+                walk(v, sub)
+                for col, subtree in sub.items():
+                    out.setdefault(col, {})[k] = subtree
+            elif k in ("mean", "var"):
+                out.setdefault("batch_stats", {})[k] = v
+            elif k in ("weight_u", "weight_v"):
+                out.setdefault("sn", {})["u" if k == "weight_u" else "v"] = v
+            else:
+                out.setdefault("params", {})[k] = v
+
+    out: Dict[str, Dict] = {}
+    walk(tree, out)
+    return out
 
 
 def extract_centroids(state_dict: Mapping[str, Any]) -> Optional[np.ndarray]:

@@ -192,7 +192,7 @@ class GeneratorResidualBlock(nn.Module):
 
         res = upsample2x(x) if self.upscale else x
         res = SNConv(self.n_out, 1, self.use_sn, dtype=self.dtype,
-                     name="res_conv")(res, update_sn)
+                     name="res_branch_1")(res, update_sn)
         return h + res
 
 
@@ -282,7 +282,7 @@ class DiscriminatorResidualBlock(nn.Module):
             h2 = nn.avg_pool(h2, (2, 2), (2, 2))
             res_in = nn.avg_pool(res_in, (2, 2), (2, 2))
         res = SNConv(self.n_out, 1, self.use_sn, dtype=self.dtype,
-                     name="res_conv")(res_in, update_sn)
+                     name="res_branch_1")(res_in, update_sn)
         return h2 + res
 
 
