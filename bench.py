@@ -35,6 +35,11 @@ def main():
     from xlxmert_tpu.models.lxmert import LxmertModel, VisualAnswerHead
     from xlxmert_tpu.utils.boxes import box_position
 
+    from xlxmert_tpu.models.lxmert import serving_mode
+
+    serving_mode(True)  # bf16 softmax + tanh gelu (xla attention — measured
+    # faster than the pallas kernel at these shapes, see ops/attention.py)
+
     cfg = LxmertConfig()
     B, L, V = 256, 20, 64
     K_SMALL, K_BIG = 4, 36

@@ -31,7 +31,7 @@ def run(task: str, argv=None):
     from xlxmert_tpu.data.answer_table import AnswerTable
     from xlxmert_tpu.data.datasets import GQADataset, NLVR2Dataset, VQADataset
     from xlxmert_tpu.data.io import PrefetchLoader
-    from xlxmert_tpu.data.tokenization import Tokenizer
+    from xlxmert_tpu.data.fast_tokenizer import FastTokenizer as Tokenizer
     from xlxmert_tpu.tasks.finetune import FinetuneEngine
 
     is_main = jax.process_index() == 0

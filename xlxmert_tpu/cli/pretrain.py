@@ -35,7 +35,7 @@ def main(argv=None):
     from xlxmert_tpu.core.metrics import LossMeter, RunLogger
     from xlxmert_tpu.data.datasets import PretrainDataset
     from xlxmert_tpu.data.io import ClusterMap, PrefetchLoader, load_json
-    from xlxmert_tpu.data.tokenization import Tokenizer
+    from xlxmert_tpu.data.fast_tokenizer import FastTokenizer as Tokenizer
     from xlxmert_tpu.tasks.pretrain import PretrainEngine, TrainState
     from xlxmert_tpu.vocab.kmeans import centroid_filename
 

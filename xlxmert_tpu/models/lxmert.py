@@ -32,6 +32,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from xlxmert_tpu.core.config import LxmertConfig
@@ -39,6 +40,30 @@ from xlxmert_tpu.core.config import LxmertConfig
 Dtype = Any
 
 NEG_INF = -1e9  # large-negative additive mask (fp32-safe, bf16-safe)
+
+# Serving-mode switches (training and parity tests keep the exact path):
+#   FAST_SOFTMAX: softmax in compute dtype instead of fp32
+#   FAST_GELU: tanh-approximate gelu instead of exact erf
+#   ATTENTION_IMPL: "pallas" routes attention through the fused VMEM
+#     kernel (ops/attention.py); "xla" keeps the einsum formulation.
+# Flipped together by `serving_mode()`; deviation is within bf16 rounding.
+FAST_SOFTMAX = False
+FAST_GELU = False
+ATTENTION_IMPL = "xla"
+
+
+def serving_mode(on: bool = True, attention: str = "xla") -> None:
+    # attention="xla" is the measured winner at LXRT's tiny sequence
+    # shapes (see ops/attention.py docstring); "pallas" is the fused
+    # VMEM kernel, opt-in.
+    global FAST_SOFTMAX, FAST_GELU, ATTENTION_IMPL
+    FAST_SOFTMAX = on
+    FAST_GELU = on
+    ATTENTION_IMPL = attention if on else "xla"
+
+
+def _gelu(x):
+    return nn.gelu(x, approximate=FAST_GELU)
 
 
 def extend_attention_mask(mask: Optional[jnp.ndarray], dtype: Dtype) -> Optional[jnp.ndarray]:
@@ -73,11 +98,23 @@ class Attention(nn.Module):
         k = k.reshape(B, Lk, H, D)
         v = v.reshape(B, Lk, H, D)
 
+        if ATTENTION_IMPL == "pallas" and deterministic:
+            from xlxmert_tpu.ops.attention import fused_mha
+
+            # bias arrives as (B, 1, 1, Lk) additive; kernel wants (B, Lk)
+            bias2d = (attention_bias.reshape(B, Lk)
+                      if attention_bias is not None else None)
+            ctx = fused_mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                            v.transpose(0, 2, 1, 3), bias2d,
+                            FAST_SOFTMAX)
+            return ctx.transpose(0, 2, 1, 3).reshape(B, Lq, H * D)
+
+        acc_t = self.dtype if FAST_SOFTMAX else jnp.float32
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores * (1.0 / jnp.sqrt(D).astype(jnp.float32))
+                            preferred_element_type=acc_t)
+        scores = scores * jnp.asarray(1.0 / np.sqrt(D), acc_t)
         if attention_bias is not None:
-            scores = scores + attention_bias.astype(jnp.float32)
+            scores = scores + attention_bias.astype(acc_t)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
             probs, deterministic=deterministic)
@@ -136,8 +173,9 @@ class Intermediate(nn.Module):
         h = nn.Dense(self.config.intermediate_size, dtype=self.dtype,
                      kernel_init=nn.initializers.normal(self.config.initializer_range),
                      name="dense")(x)
-        # HF uses exact (erf) gelu for lxmert's default hidden_act="gelu".
-        return nn.gelu(h, approximate=False)
+        # HF uses exact (erf) gelu for lxmert's default hidden_act="gelu";
+        # serving mode swaps in the tanh approximation.
+        return _gelu(h)
 
 
 class FFOutput(nn.Module):
@@ -331,7 +369,7 @@ class PredictionHeadTransform(nn.Module):
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype,
                      kernel_init=nn.initializers.normal(cfg.initializer_range),
                      name="dense")(x)
-        h = nn.gelu(h, approximate=False)
+        h = _gelu(h)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="LayerNorm")(h)
 
@@ -419,7 +457,7 @@ class VisualAnswerHead(nn.Module):
         init = nn.initializers.normal(cfg.initializer_range)
         h = nn.Dense(cfg.hidden_size * 2, dtype=self.dtype, kernel_init=init,
                      name="logit_fc_0")(pooled)
-        h = nn.gelu(h, approximate=False)
+        h = _gelu(h)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="logit_fc_2")(h)
         h = nn.Dense(self.num_labels, dtype=self.dtype, kernel_init=init,

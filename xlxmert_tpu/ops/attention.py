@@ -1,0 +1,141 @@
+"""Pallas fused multi-head attention for the LXRT block shapes.
+
+The LXRT encoder runs 19 attention ops per forward over tiny sequences
+(20 text / 64 visual tokens, 12 heads, head_dim 64). XLA materializes the
+(B, 12, L, L) score/prob tensors in HBM between the batched matmul,
+softmax, and context ops; at B=256 that is ~70MB of round-trip traffic per
+attention. This kernel keeps the whole head loop — scores, additive bias,
+softmax, context — in VMEM, one batch element per program.
+
+Usable on the serving path (no dropout). The backward pass falls back to
+the einsum formulation via jax.custom_vjp (attention FLOPs are negligible;
+the candidate win is inference HBM traffic). Numerics: MXU accumulation is
+fp32 (Mosaic requirement); `fast` lowers only the softmax dtype, matching
+models/lxmert.py's FAST_SOFTMAX semantics.
+
+MEASURED on TPU v5e (B=256, bf16, full 9/5/5 model): XLA einsum path
+8547 q/s vs this kernel 8092 q/s (batch-block 16) / 7399 q/s (block 1) —
+XLA's batched-matmul + fusion wins at these tiny L in {20, 64}, D=64
+shapes, so `serving_mode()` defaults attention to "xla" and this kernel
+stays opt-in (`serving_mode(True, attention="pallas")`). Revisit with a
+head-packed layout if shapes grow.
+
+See /opt/skills/guides/pallas_guide.md for the kernel-authoring rules
+followed here (static shapes, VMEM blocks, fp32 MXU accumulation).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_heads: int,
+                scale: float, acc_dtype):
+    """One batch block: q (BB, H, Lq, D), k/v (BB, H, Lk, D),
+    bias (BB, 1, Lk) additive or None, o (BB, H, Lq, D).
+
+    Per head, a batched dot over the BB block — fewer, larger MXU ops
+    than per-(batch, head) dots. MXU accumulation is always 32-bit
+    (Mosaic requirement); `fast` only lowers the softmax dtype.
+    """
+    bias = None
+    if bias_ref is not None:
+        bias = bias_ref[:, 0, :].astype(acc_dtype)  # (BB, Lk)
+    for h in range(n_heads):
+        q = q_ref[:, h]  # (BB, Lq, D)
+        k = k_ref[:, h]  # (BB, Lk, D)
+        v = v_ref[:, h]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (BB, Lq, Lk)
+        s = (s * scale).astype(acc_dtype)
+        if bias is not None:
+            s = s + bias[:, None, :]
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o_ref[:, h] = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _fused_mha_fwd(q, k, v, bias, fast: bool, block_b: int = 16):
+    """q/k/v: (B, H, L*, D). bias: (B, Lk) additive or None."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    BB = min(block_b, B)
+    while B % BB:
+        BB //= 2
+    acc = q.dtype if fast else jnp.float32
+    kern = functools.partial(_mha_kernel, n_heads=H,
+                             scale=float(1.0 / np.sqrt(D)), acc_dtype=acc)
+    in_specs = [
+        pl.BlockSpec((BB, H, Lq, D), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BB, H, Lk, D), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BB, H, Lk, D), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((BB, 1, Lk), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias.reshape(B, 1, Lk))
+    else:
+        def kern(q_ref, k_ref, v_ref, o_ref):
+            _mha_kernel(q_ref, k_ref, v_ref, None, o_ref, n_heads=H,
+                        scale=float(1.0 / np.sqrt(D)), acc_dtype=acc)
+
+    # CPU (tests / virtual mesh) runs the kernel interpreted
+    interpret = jax.devices()[0].platform == "cpu"
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
+        grid=(B // BB,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BB, H, Lq, D), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * Lq * Lk * D,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * H * Lq * Lk),
+        interpret=interpret,
+    )(*args)
+
+
+def _einsum_mha(q, k, v, bias, fast: bool):
+    """Reference einsum formulation (used for grads and as fallback)."""
+    acc = q.dtype if fast else jnp.float32
+    D = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc)
+    s = s * jnp.asarray(1.0 / np.sqrt(D), acc)
+    if bias is not None:
+        s = s + bias[:, None, None, :].astype(acc)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_mha(q, k, v, bias, fast: bool = False):
+    """Fused attention: q/k/v (B, H, L*, D), optional additive bias (B, Lk).
+    Returns (B, H, Lq, D)."""
+    return _fused_mha_fwd(q, k, v, bias, fast)
+
+
+def _vjp_fwd(q, k, v, bias, fast):
+    return _fused_mha_fwd(q, k, v, bias, fast), (q, k, v, bias)
+
+
+def _vjp_bwd(fast, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q, k, v, b: _einsum_mha(q, k, v, b, fast),
+                     q, k, v, bias)
+    return vjp(g)
+
+
+fused_mha.defvjp(_vjp_fwd, _vjp_bwd)
