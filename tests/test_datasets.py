@@ -142,3 +142,37 @@ def test_feature_reader_cache(fixtures):
     b = r.get("img0")
     assert a is b  # cached object identity
     assert "img0" in r and "nope" not in r
+
+
+def test_pretrain_qa_and_coco_substitution(fixtures):
+    root, tok, corpus = fixtures
+    from xlxmert_tpu.data.answer_table import AnswerTable
+
+    table = AnswerTable([{"ans": "dog", "dsets": ["vqa"]},
+                         {"ans": "cat", "dsets": ["vqa"]}])
+    # mark half the corpus as VG-sourced images; QA labels attach to the
+    # text source they belong to (sentf/labelf share keys)
+    corpus2 = []
+    for i, d in enumerate(corpus):
+        d = dict(d)
+        d["sentf"] = dict(d["sentf"], vqa=["a dog ?"])
+        d["labelf"] = {"vqa": [{"dog": 1.0}]}
+        d["img_source"] = "mscoco" if i % 2 == 0 else "vg"
+        corpus2.append(d)
+    from xlxmert_tpu.data.datasets import PretrainDataset
+    from xlxmert_tpu.data.io import ClusterMap
+
+    ds = PretrainDataset(corpus2, tok, ClusterMap(root / "clusters.pkl"),
+                         max_text_length=8, grid_size=GRID,
+                         answer_table=table, vis_mask_sources={"mscoco"})
+    b = next(iter(ds.batches(8, shuffle=True, seed=0)))
+    # QA labels: examples with {"dog": 1.0} label map to id 0, others -1
+    assert set(np.unique(b["qa_label"])) <= {-1, 0}
+    assert (b["qa_label"] == 0).any()
+    # substitution fields present, only drawn from mscoco-sourced images
+    assert b["coco_word_id"].shape == b["word_id"].shape
+    assert b["coco_cluster_id"].shape == (8, GRID * GRID)
+    mscoco_imgs = {d["img_id"] for d in corpus2
+                   if d["img_source"] == "mscoco"}
+    pool_imgs = {ds.examples[i]["img_id"] for i in ds._vis_pool}
+    assert pool_imgs <= mscoco_imgs

@@ -62,21 +62,32 @@ def main(argv=None):
         f"_iter{cfg.kmeans_iterations}_d{cfg.feat_dim}_grid{cfg.grid_size}.pkl"
     clusters = ClusterMap(cluster_pkl)
 
+    answer_table = None
+    if cfg.task_qa:
+        from xlxmert_tpu.data.answer_table import AnswerTable
+
+        answer_table = AnswerTable(root / "lxmert" / "all_ans.json")
+    vis_mask_sources = None
+    if cfg.vis_mask_COCO_only:
+        vis_mask_sources = {"mscoco"}
+    elif cfg.vis_mask_COCOVG_only:
+        vis_mask_sources = {"mscoco", "vg"}
+
+    ds_kw = dict(max_text_length=cfg.max_text_length,
+                 grid_size=cfg.grid_size, answer_table=answer_table,
+                 vis_mask_sources=vis_mask_sources)
     corpus = []
     for source in cfg.train.split(","):
         corpus.extend(load_json(root / "lxmert" / f"{source}.json"))
-    train_ds = PretrainDataset(
-        corpus, tokenizer, clusters, max_text_length=cfg.max_text_length,
-        grid_size=cfg.grid_size, topk=cfg.train_topk)
+    train_ds = PretrainDataset(corpus, tokenizer, clusters,
+                               topk=cfg.train_topk, **ds_kw)
     train_ds.shard(jax.process_index(), jax.process_count())
 
     valid_corpus = []
     for source in cfg.valid.split(","):
         valid_corpus.extend(load_json(root / "lxmert" / f"{source}.json"))
-    valid_ds = PretrainDataset(
-        valid_corpus, tokenizer, clusters,
-        max_text_length=cfg.max_text_length, grid_size=cfg.grid_size,
-        topk=cfg.valid_topk)
+    valid_ds = PretrainDataset(valid_corpus, tokenizer, clusters,
+                               topk=cfg.valid_topk, **ds_kw)
 
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
     total_steps = steps_per_epoch * cfg.epochs

@@ -225,28 +225,71 @@ class PretrainDataset:
                  feat_reader: Optional[GridFeatureReader] = None,
                  max_text_length: int = 20, grid_size: int = 8,
                  topk: int = -1,
-                 coco_only_sources: Optional[set] = None):
+                 answer_table=None,
+                 vis_mask_sources: Optional[set] = None):
+        """answer_table: data/answer_table.AnswerTable enables QA labels
+        (answer sampled per example, lxmert_data.py:366-388).
+        vis_mask_sources: when set (e.g. {"mscoco"} for --vis_mask_COCO_only
+        or {"mscoco", "vg"} for --vis_mask_COCOVG_only), batches carry a
+        substitute example from those sources for the vis_mask task
+        (lxmert_data.py:466-492)."""
         self.tokenizer = tokenizer
         self.clusters = cluster_map
         self.feat = feat_reader
         self.max_text_length = max_text_length
         self.grid_size = grid_size
+        self.answer_table = answer_table
+        self.vis_mask_sources = vis_mask_sources
         # flatten captions (lxmert_data.py:45-95)
         self.examples: List[dict] = []
         for datum in corpus:
             img_id = datum["img_id"]
             if img_id not in cluster_map:
                 continue
+            img_source = datum.get("img_source", "")
             for source, sents in datum.get("sentf", {}).items():
                 labels = datum.get("labelf", {}).get(source)
                 for i, sent in enumerate(sents):
                     ex = {"uid": f"{img_id}_{source}_{i}", "img_id": img_id,
-                          "sent": sent, "source": source}
+                          "sent": sent, "source": source,
+                          "img_source": img_source or source}
                     if labels is not None and i < len(labels) and labels[i]:
                         ex["label"] = labels[i]
                     self.examples.append(ex)
         if topk and topk > 0:
             self.examples = self.examples[:topk]
+        self._vis_pool: List[int] = []
+        if vis_mask_sources:
+            # image source decides eligibility (lxmert_data.py:477
+            # `'mscoco' in coco_datum['img_source']`)
+            self._vis_pool = [
+                i for i, ex in enumerate(self.examples)
+                if any(s in ex["img_source"] for s in vis_mask_sources)]
+
+    def _qa_label(self, ex, rng) -> int:
+        """Sample one answer id from the soft-label dict
+        (lxmert_data.py:366-388); -1 = no QA supervision."""
+        label = ex.get("label")
+        if not label or self.answer_table is None:
+            return -1
+        ids, scores = [], []
+        for ans, score in label.items():
+            ans = self.answer_table.convert_ans(ans)
+            if self.answer_table.used(ans):
+                ids.append(self.answer_table.ans2id(ans))
+                scores.append(score)
+        if not ids:
+            return -1
+        if len(ids) == 1:
+            return ids[0]
+        total = sum(scores)
+        r = rng.random() * total
+        acc = 0.0
+        for i, s in zip(ids, scores):
+            acc += s
+            if r <= acc:
+                return i
+        return ids[-1]
 
     def __len__(self):
         return len(self.examples)
@@ -293,6 +336,20 @@ class PretrainDataset:
                     [np.int32(m) for m in matched], batch_size),
                 "cluster_id": _pad_batch(cluster_ids, batch_size),
             }
+            if self.answer_table is not None:
+                batch["qa_label"] = _pad_batch(
+                    [np.int32(self._qa_label(d, rng)) for d in data],
+                    batch_size)
+            if self._vis_pool:
+                # substitute COCO/VG example for the vis_mask task
+                subs = [self.examples[self._vis_pool[
+                    rng.randrange(len(self._vis_pool))]] for _ in data]
+                sub_ids = self.tokenizer.encode_batch(
+                    [s["sent"] for s in subs], self.max_text_length)
+                batch["coco_word_id"] = _pad_batch(list(sub_ids), batch_size)
+                batch["coco_cluster_id"] = _pad_batch(
+                    [self.clusters.get(s["img_id"]) for s in subs],
+                    batch_size)
             if with_feats and self.feat is not None:
                 feats = [self.feat.get(d["img_id"]).reshape(V, -1)
                          for d in data]

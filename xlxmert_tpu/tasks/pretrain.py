@@ -77,6 +77,7 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
     (lxmert_pretrain.py:143-225) plus the collate-side masking."""
     n_cells = cfg.n_grids
     labels: Dict[str, jnp.ndarray] = {}
+    cluster_id = batch.get("cluster_id")
 
     if task == "word_mask":
         input_ids, word_labels = random_word_mask(
@@ -89,7 +90,15 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
         labels["matched_labels"] = batch["matched_label"]
         vis_mask = None
     elif task == "vis_mask":
-        input_ids = batch["word_id"]
+        # --vis_mask_COCO(VG)_only: the vis_mask task trains on a
+        # substitute COCO/VG example (caption + its cluster grid),
+        # provided by the loader (lxmert_data.py:466-492).
+        if ((cfg.vis_mask_COCO_only or cfg.vis_mask_COCOVG_only)
+                and "coco_word_id" in batch):
+            input_ids = batch["coco_word_id"]
+            cluster_id = batch["coco_cluster_id"]
+        else:
+            input_ids = batch["word_id"]
         if cfg.square_mask:
             vis_mask = square_vis_mask(rng, input_ids.shape[0], cfg.grid_size)
         elif cfg.vis_mask_predict:
@@ -99,7 +108,7 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
                         < cfg.obj_mask_rate).astype(jnp.float32)
         if "obj" in cfg.visual_loss_keys:
             labels["obj_labels"] = jnp.where(
-                vis_mask > 0, batch["cluster_id"], -100)
+                vis_mask > 0, cluster_id, -100)
         if "feat" in cfg.visual_loss_keys:
             labels["feat_labels"] = batch["vis_feats"]
             labels["vis_mask"] = vis_mask
@@ -114,8 +123,7 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
         labels["qa_labels"] = qa
 
     if cfg.clustering:
-        visual_feats = embed_clusters(batch["cluster_id"], centroids,
-                                      compute_dtype)
+        visual_feats = embed_clusters(cluster_id, centroids, compute_dtype)
     else:
         visual_feats = batch["vis_feats"].astype(compute_dtype)
 
