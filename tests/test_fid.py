@@ -1,0 +1,41 @@
+"""FID math tests: closed-form Gaussian cases + scipy-free sqrtm check."""
+import numpy as np
+
+from xlxmert_tpu.utils.fid import (
+    activation_stats, fid_from_features, frechet_distance,
+)
+
+
+def test_identical_distributions_zero():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2000, 8)
+    mu, sigma = activation_stats(x)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_mean_shift_closed_form():
+    """For equal covariances, FID = ||mu1 - mu2||^2 exactly."""
+    d = 6
+    mu1 = np.zeros(d)
+    mu2 = np.full(d, 0.5)
+    sigma = np.eye(d) * 2.0
+    got = frechet_distance(mu1, sigma, mu2, sigma)
+    assert abs(got - 0.25 * d) < 1e-4
+
+
+def test_variance_mismatch_closed_form():
+    """Isotropic gaussians: FID = d*(s1 + s2 - 2*sqrt(s1*s2))."""
+    d = 5
+    s1, s2 = 2.0, 0.5
+    got = frechet_distance(np.zeros(d), np.eye(d) * s1,
+                           np.zeros(d), np.eye(d) * s2)
+    expected = d * (s1 + s2 - 2 * np.sqrt(s1 * s2))
+    assert abs(got - expected) < 1e-3
+
+
+def test_sample_fid_sensitivity():
+    rng = np.random.RandomState(1)
+    real = rng.randn(4000, 16)
+    close = rng.randn(4000, 16) * 1.02
+    far = rng.randn(4000, 16) * 2.0 + 1.0
+    assert fid_from_features(real, close) < fid_from_features(real, far)

@@ -136,3 +136,16 @@ def test_ar_order_strategy():
     code, out_ids = sampler(params, centroids, ids, mask, order)
     # all cells committed after a full pass
     assert (np.abs(np.asarray(code)).sum(axis=-1) > 0).all()
+
+
+def test_nar_collect_intermediate():
+    model, params, centroids, ids, mask = setup_model(seed=9)
+    sampler = make_nar_sampler(model, 3, GRID, collect_intermediate=True)
+    codes, out_ids, prob = sampler(params, centroids, ids, mask)
+    assert codes.shape == (3, 2, N_CELLS, 16)
+    assert out_ids.shape == (3, 2, N_CELLS)
+    # final step must equal the non-collecting sampler's result
+    final_code, final_ids, _ = make_nar_sampler(model, 3, GRID)(
+        params, centroids, ids, mask)
+    np.testing.assert_allclose(np.asarray(codes[-1]), np.asarray(final_code),
+                               atol=1e-6)

@@ -57,6 +57,7 @@ class RunLogger:
         self._scalars = open(self.dir / "scalars.jsonl", "a")
         if config is not None and hasattr(config, "save"):
             config.save(str(self.dir / "args.yaml"))
+        self._snapshot_source()
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -64,6 +65,21 @@ class RunLogger:
                 self.tb = SummaryWriter(str(self.dir / "tb"))
             except Exception:
                 self.tb = None
+
+    def _snapshot_source(self):
+        """Snapshot the package source into the run dir for reproducibility
+        (reference lxmert_pretrain.py:710-718, main.py:133-141)."""
+        try:
+            import shutil
+
+            pkg = Path(__file__).resolve().parent.parent
+            dst = self.dir / "src"
+            if not dst.exists():
+                shutil.copytree(pkg, dst,
+                                ignore=shutil.ignore_patterns(
+                                    "__pycache__", "*.so", "*.pyc"))
+        except Exception:
+            pass  # snapshotting must never block a run
 
     def info(self, msg: str):
         if self.enabled:

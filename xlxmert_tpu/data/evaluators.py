@@ -73,6 +73,17 @@ class NLVR2Evaluator:
                 idt = self.id2datum[uid]["identifier"]
                 f.write("%s,%s\n" % (idt, "True" if ans == 1 else "False"))
 
+    def confusion(self, quesid2ans: Dict) -> Dict[str, int]:
+        """TP/FN/FP/TN tally (reference nlvr2.py:210-220)."""
+        out = {"TP": 0, "FN": 0, "FP": 0, "TN": 0}
+        for quesid, ans in quesid2ans.items():
+            label = self.id2datum[quesid]["label"]
+            if label == 1:
+                out["TP" if ans == 1 else "FN"] += 1
+            else:
+                out["FP" if ans == 1 else "TN"] += 1
+        return out
+
 
 class QAEvaluator:
     """Pretraining QA accuracy over the 9500-answer table

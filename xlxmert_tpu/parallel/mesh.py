@@ -19,6 +19,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host init over DCN (replaces the reference's fixed
+    tcp://127.0.0.1:9000 NCCL rendezvous, lxmert_pretrain.py:694-700).
+
+    On Cloud TPU pods, `jax.distributed.initialize()` auto-discovers the
+    coordinator from the TPU metadata; explicit args cover bare-metal
+    clusters. Safe to call when single-process (no-op)."""
+    import jax
+
+    try:
+        if coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(coordinator_address, num_processes,
+                                       process_id)
+    except (RuntimeError, ValueError):
+        # already initialized or single-process environment
+        pass
+
+
 def make_mesh(shape: Tuple[int, ...] = (),
               axis_names: Tuple[str, ...] = ("data",),
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:

@@ -51,11 +51,15 @@ def _predict(model: XLxmert, params, input_ids, attention_mask, code,
     return pred_prob, pred_id
 
 
-def make_nar_sampler(model: XLxmert, n_steps: int, grid_size: int = 8):
+def make_nar_sampler(model: XLxmert, n_steps: int, grid_size: int = 8,
+                     collect_intermediate: bool = False):
     """Build the jitted NAR mask-predict sampler.
 
     Returns fn(params, centroids, input_ids, attention_mask)
       -> (code (B,V,D), cluster_ids (B,V), pred_prob (B,V)).
+    With collect_intermediate, code/ids gain a leading (n_steps,) axis —
+    the per-step grids the reference renders when return_intermediate is
+    set (imggen_model.py:245-248).
     """
     n_cells = grid_size * grid_size
     box_pos = jnp.asarray(box_position(grid_size))
@@ -70,7 +74,7 @@ def make_nar_sampler(model: XLxmert, n_steps: int, grid_size: int = 8):
         # uniform initial "probabilities": step 0 masks all cells anyway
         prob0 = jnp.zeros((B, n_cells), jnp.float32)
 
-        def body(i, carry):
+        def step(carry, i):
             code, ids, prob = carry
             # linear decay: int((n_steps - i)/n_steps * n_cells)
             n_mask = ((n_steps - i) * n_cells) // n_steps
@@ -85,10 +89,13 @@ def make_nar_sampler(model: XLxmert, n_steps: int, grid_size: int = 8):
             m = vis_mask[..., None] > 0
             code = jnp.where(m, pred_code, code)
             ids = jnp.where(vis_mask > 0, pred_id, ids)
-            return code, ids, pred_prob
+            out = (code, ids) if collect_intermediate else None
+            return (code, ids, pred_prob), out
 
-        code, ids, prob = jax.lax.fori_loop(
-            0, n_steps, body, (code0, ids0, prob0))
+        (code, ids, prob), collected = jax.lax.scan(
+            step, (code0, ids0, prob0), jnp.arange(n_steps))
+        if collect_intermediate:
+            return collected[0], collected[1], prob
         return code, ids, prob
 
     return sample
