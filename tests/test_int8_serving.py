@@ -1,0 +1,90 @@
+"""Int8 serving engine vs the fp32 flax model: quantization error must be
+small (cosine similarity) and answer decisions must agree."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from xlxmert_tpu.core.config import LxmertConfig
+from xlxmert_tpu.models.lxmert import LxmertModel, VisualAnswerHead
+from xlxmert_tpu.ops.quant import int8_dense, quantize_weight
+from xlxmert_tpu.serving.lxmert_int8 import (
+    lxmert_forward, make_vqa_serving_fn, prepare_answer_head, prepare_params,
+)
+from xlxmert_tpu.utils.boxes import box_position
+
+CFG = LxmertConfig(
+    vocab_size=200, hidden_size=64, num_attention_heads=4,
+    intermediate_size=128, l_layers=2, x_layers=2, r_layers=2,
+    visual_feat_dim=32, num_clusters=0)
+
+
+def cos(a, b):
+    a, b = np.asarray(a, np.float64).ravel(), np.asarray(b, np.float64).ravel()
+    return a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+
+
+def test_int8_dense_accuracy():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 48).astype(np.float32))
+    w = rng.randn(48, 32).astype(np.float32) * 0.1
+    b = rng.randn(32).astype(np.float32) * 0.1
+    qw = quantize_weight(w, b)
+    got = np.asarray(int8_dense(x, qw), np.float32)
+    ref = np.asarray(x) @ w + b
+    assert cos(got, ref) > 0.999
+
+
+def test_serving_forward_matches_flax():
+    model = LxmertModel(CFG, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    B, L, V = 4, 12, 16
+    ids = jnp.asarray(rng.randint(1, 200, (B, L)).astype(np.int32))
+    mask = np.ones((B, L), np.float32)
+    mask[2, 8:] = 0
+    mask = jnp.asarray(mask)
+    feats = jnp.asarray(rng.randn(B, V, 32).astype(np.float32) * 0.5)
+    pos = jnp.asarray(np.broadcast_to(box_position(4)[None], (B, V, 4)).copy())
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos,
+                        attention_mask=mask)["params"]
+
+    lang_ref, visn_ref, pooled_ref = model.apply(
+        {"params": params}, ids, feats, pos, attention_mask=mask,
+        deterministic=True)
+
+    qp = prepare_params(params, CFG)
+    lang, visn, pooled = lxmert_forward(
+        qp, ids, feats, pos, attention_mask=mask,
+        n_heads=CFG.num_attention_heads)
+
+    assert cos(lang, lang_ref) > 0.99
+    assert cos(visn, visn_ref) > 0.99
+    assert cos(pooled, pooled_ref) > 0.99
+
+
+def test_vqa_answers_agree():
+    model = LxmertModel(CFG, dtype=jnp.float32)
+    head = VisualAnswerHead(CFG, num_labels=29, dtype=jnp.float32)
+    rng = np.random.RandomState(2)
+    B, L, V = 16, 12, 16
+    ids = jnp.asarray(rng.randint(1, 200, (B, L)).astype(np.int32))
+    mask = jnp.asarray(np.ones((B, L), np.float32))
+    feats = jnp.asarray(rng.randn(B, V, 32).astype(np.float32) * 0.5)
+    pos = jnp.asarray(np.broadcast_to(box_position(4)[None], (B, V, 4)).copy())
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos,
+                        attention_mask=mask)["params"]
+    hp = head.init(jax.random.PRNGKey(1), jnp.zeros((B, CFG.hidden_size))
+                   )["params"]
+
+    _, _, pooled = model.apply({"params": params}, ids, feats, pos,
+                               attention_mask=mask, deterministic=True)
+    ref_logits = head.apply({"params": hp}, pooled)
+
+    fn = make_vqa_serving_fn(CFG)
+    logits = fn(prepare_params(params, CFG), prepare_answer_head(hp),
+                ids, feats, pos, mask)
+    assert logits.shape == ref_logits.shape
+    assert cos(logits, ref_logits) > 0.98
+    agree = (np.argmax(np.asarray(logits), -1)
+             == np.argmax(np.asarray(ref_logits), -1)).mean()
+    assert agree >= 0.9, agree

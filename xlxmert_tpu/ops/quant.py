@@ -1,0 +1,68 @@
+"""Int8 serving quantization primitives.
+
+v5e's MXU runs int8 x int8 -> int32 at ~2.5x the measured bf16 rate
+(287 vs 113 TOP/s on this chip, microbenchmarked with loop-carried data
+dependence — beware XLA hoisting loop-invariant matmuls). Naive per-call
+dynamic quantization erases the gain (measured 114 eff-TOP/s), so the
+serving engine (serving/lxmert_int8.py) quantizes each activation ONCE
+per site and shares it across fused projections (QKV as one matmul, KV as
+one matmul).
+
+Scheme: per-output-channel symmetric weight scales, per-row dynamic
+activation scales, int32 accumulation, fp32 dequant.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class QuantWeight(NamedTuple):
+    w_i8: jnp.ndarray  # (K, N) int8
+    scale: jnp.ndarray  # (N,) fp32 per-output-channel
+    bias: Optional[jnp.ndarray]  # (N,) fp32 or None
+
+
+def quantize_weight(w: np.ndarray, bias: Optional[np.ndarray] = None,
+                    axis: int = 0) -> QuantWeight:
+    """(K, N) fp weight -> int8 + per-column scale (symmetric)."""
+    w = np.asarray(w, np.float32)
+    scale = np.abs(w).max(axis=axis) / 127.0
+    scale = np.maximum(scale, 1e-8)
+    w_i8 = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
+    return QuantWeight(jnp.asarray(w_i8), jnp.asarray(scale),
+                       None if bias is None else jnp.asarray(
+                           np.asarray(bias, np.float32)))
+
+
+def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., K) activation -> (int8 tensor, per-row fp32 scale (..., 1)).
+    One pass; reuse the result across every matmul that consumes x."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    x_i8 = jnp.round(xf / s).astype(jnp.int8)
+    return x_i8, s
+
+
+def int8_matmul(x_i8: jnp.ndarray, s_x: jnp.ndarray, qw: QuantWeight,
+                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(..., K) int8 @ (K, N) int8 -> (..., N) dequantized."""
+    acc = jax.lax.dot_general(
+        x_i8, qw.w_i8, (((x_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * s_x * qw.scale
+    if qw.bias is not None:
+        out = out + qw.bias
+    return out.astype(out_dtype)
+
+
+def int8_dense(x: jnp.ndarray, qw: QuantWeight,
+               out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Quantize-then-matmul for a single consumer (prefer quantize_rows +
+    int8_matmul when several weights share x)."""
+    x_i8, s_x = quantize_rows(x)
+    return int8_matmul(x_i8, s_x, qw, out_dtype)

@@ -1,0 +1,311 @@
+"""Int8 LXMERT serving engine — pure-functional forward with fused,
+pre-quantized projections.
+
+Purpose-built for batched inference throughput (BASELINE north star:
+>=5x A100/chip). Differences from the flax model (models/lxmert.py):
+  - all large Dense matmuls run int8 x int8 -> int32 on the MXU with
+    per-output-channel weight scales and per-row dynamic activation
+    scales (ops/quant.py);
+  - QKV is one fused (768 -> 2304) matmul; cross-attention KV is one
+    fused (768 -> 1536) matmul; each activation is quantized ONCE and
+    shared by all its consumers;
+  - softmax/gelu in bf16 (serving-mode numerics); LayerNorm stats fp32;
+  - attention einsums, embeddings, pooler stay bf16 (small).
+
+`prepare_params(flax_params)` converts any trained/converted checkpoint;
+tests/test_int8_serving.py pins agreement with the fp32 flax model
+(logit cosine + answer agreement).
+
+MEASURED on TPU v5e (B=256, full 9/5/5 model, VQA forward):
+  bf16 serving (models/lxmert.py serving_mode)   8547 q/s  <- default
+  int8, XLA-level quant/matmul (this engine)     7961 q/s
+  int8, fused Pallas kernel (N,M blocked)        5659 q/s
+  int8, fused Pallas kernel (N unblocked)        6684 q/s
+The pure int8 MXU rate is 2.5x bf16 (287 vs 113 TOP/s microbenched), but
+at K=768 the per-activation quant/dequant traffic eats the gain; fusing
+it into Pallas tiles trades HBM traffic for redundant VPU quantization
+and pipeline-maturity losses vs XLA's matmul. Kept as a correctness-
+tested capability; making int8 win needs whole-block fusion (quantize
+once per layer input, chain matmuls in VMEM) — future-round work.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xlxmert_tpu.core.config import LxmertConfig
+from xlxmert_tpu.ops.quant import (
+    QuantWeight, int8_matmul, quantize_rows, quantize_weight,
+)
+
+NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# Parameter preparation
+# ---------------------------------------------------------------------------
+
+
+def _np(x):
+    return np.asarray(x, np.float32)
+
+
+def _qw(p: Dict, name: str) -> QuantWeight:
+    return quantize_weight(_np(p[name]["kernel"]), _np(p[name]["bias"]))
+
+
+def _qw_concat(p: Dict, names) -> QuantWeight:
+    k = np.concatenate([_np(p[n]["kernel"]) for n in names], axis=1)
+    b = np.concatenate([_np(p[n]["bias"]) for n in names])
+    return quantize_weight(k, b)
+
+
+def _ln(p: Dict, name: str):
+    return {"scale": jnp.asarray(_np(p[name]["scale"])),
+            "bias": jnp.asarray(_np(p[name]["bias"]))}
+
+
+def _self_att(p: Dict) -> Dict:
+    """SelfAttentionLayer params {self: {query,key,value}, output}."""
+    return {
+        "qkv": _qw_concat(p["self"], ("query", "key", "value")),
+        "out": _qw(p["output"], "dense"),
+        "ln": _ln(p["output"], "LayerNorm"),
+    }
+
+
+def _cross_att(p: Dict) -> Dict:
+    """CrossAttentionLayer params {att: {query,key,value}, output}."""
+    return {
+        "q": _qw(p["att"], "query"),
+        "kv": _qw_concat(p["att"], ("key", "value")),
+        "out": _qw(p["output"], "dense"),
+        "ln": _ln(p["output"], "LayerNorm"),
+    }
+
+
+def _ffn(p: Dict) -> Dict:
+    return {
+        "w1": _qw(p["intermediate"], "dense"),
+        "w2": _qw(p["output"], "dense"),
+        "ln": _ln(p["output"], "LayerNorm"),
+    }
+
+
+def _ffn_named(p: Dict, inter: str, out: str) -> Dict:
+    return {
+        "w1": _qw(p[inter], "dense"),
+        "w2": _qw(p[out], "dense"),
+        "ln": _ln(p[out], "LayerNorm"),
+    }
+
+
+def prepare_params(params: Dict, cfg: LxmertConfig) -> Dict:
+    """flax LxmertModel param tree -> quantized serving tree."""
+    enc = params["encoder"]
+    emb = params["embeddings"]
+    out: Dict[str, Any] = {
+        "embeddings": {
+            "word": jnp.asarray(_np(emb["word_embeddings"]["embedding"]),
+                                jnp.bfloat16),
+            "pos": jnp.asarray(_np(emb["position_embeddings"]["embedding"]),
+                               jnp.bfloat16),
+            "type": jnp.asarray(
+                _np(emb["token_type_embeddings"]["embedding"]), jnp.bfloat16),
+            "ln": _ln(emb, "LayerNorm"),
+        },
+        "visn_fc": {
+            "feat": _qw(enc["visn_fc"], "visn_fc"),
+            "feat_ln": _ln(enc["visn_fc"], "visn_layer_norm"),
+            # box_fc is (4 -> 768): keep bf16, too small to quantize
+            "box_kernel": jnp.asarray(_np(enc["visn_fc"]["box_fc"]["kernel"]),
+                                      jnp.bfloat16),
+            "box_bias": jnp.asarray(_np(enc["visn_fc"]["box_fc"]["bias"]),
+                                    jnp.bfloat16),
+            "box_ln": _ln(enc["visn_fc"], "box_layer_norm"),
+        },
+        "lang_layers": [], "visn_layers": [], "x_layers": [],
+        "pooler": {
+            "kernel": jnp.asarray(_np(params["pooler"]["dense"]["kernel"]),
+                                  jnp.bfloat16),
+            "bias": jnp.asarray(_np(params["pooler"]["dense"]["bias"]),
+                                jnp.bfloat16),
+        },
+    }
+    for i in range(cfg.l_layers):
+        p = enc[f"layer_{i}"]
+        out["lang_layers"].append(
+            {"att": _self_att(p["attention"]), "ffn": _ffn(p)})
+    for i in range(cfg.r_layers):
+        p = enc[f"r_layers_{i}"]
+        out["visn_layers"].append(
+            {"att": _self_att(p["attention"]), "ffn": _ffn(p)})
+    for i in range(cfg.x_layers):
+        p = enc[f"x_layers_{i}"]
+        out["x_layers"].append({
+            "cross": _cross_att(p["visual_attention"]),
+            "lang_self": _self_att(p["lang_self_att"]),
+            "visn_self": _self_att(p["visn_self_att"]),
+            "lang_ffn": _ffn_named(p, "lang_inter", "lang_output"),
+            "visn_ffn": _ffn_named(p, "visn_inter", "visn_output"),
+        })
+    return out
+
+
+def prepare_answer_head(head_params: Dict) -> Dict:
+    return {
+        "w1": _qw(head_params, "logit_fc_0"),
+        "ln": _ln(head_params, "logit_fc_2"),
+        "w2": _qw(head_params, "logit_fc_3"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x, ln, eps=1e-12):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]
+    return out.astype(jnp.bfloat16)
+
+
+def _attention_core(q, k, v, bias, n_heads):
+    B, Lq, Hd = q.shape
+    Lk = k.shape[1]
+    D = Hd // n_heads
+    q = q.reshape(B, Lq, n_heads, D)
+    k = k.reshape(B, Lk, n_heads, D)
+    v = v.reshape(B, Lk, n_heads, D)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.bfloat16)
+    s = s * jnp.bfloat16(1.0 / np.sqrt(D))
+    if bias is not None:
+        s = s + bias
+    p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return ctx.reshape(B, Lq, Hd)
+
+
+# Route the int8 denses through the fused Pallas kernel (quant + matmul +
+# dequant in VMEM) instead of XLA-level ops. Both work; XLA-level measured
+# faster (see module docstring), so it is the default.
+USE_FUSED_KERNEL = False
+
+
+def _self_attention(x, p, bias, n_heads):
+    qkv = int8_dense_shared(x, p["qkv"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ctx = _attention_core(q, k, v, bias, n_heads)
+    out = int8_dense_shared(ctx, p["out"])
+    return layer_norm(out + x, p["ln"])
+
+
+def _cross_attention(x, ctx_x, p, ctx_bias, n_heads,
+                     ctx_kv=None):
+    """x attends to ctx_x. ctx_kv: precomputed (k|v) of ctx_x (the shared
+    cross-attention weights are applied in both directions — compute each
+    side's KV once)."""
+    q = int8_dense_shared(x, p["q"])
+    if ctx_kv is None:
+        ctx_kv = int8_dense_shared(ctx_x, p["kv"])
+    k, v = jnp.split(ctx_kv, 2, axis=-1)
+    ctx = _attention_core(q, k, v, ctx_bias, n_heads)
+    out = int8_dense_shared(ctx, p["out"])
+    return layer_norm(out + x, p["ln"])
+
+
+def int8_dense_shared(x, qw):
+    if USE_FUSED_KERNEL:
+        from xlxmert_tpu.ops.int8_matmul import qw_dense
+
+        return qw_dense(x, qw)
+    x_i8, s_x = quantize_rows(x)
+    return int8_matmul(x_i8, s_x, qw)
+
+
+def _ffn_apply(x, p):
+    h = int8_dense_shared(x, p["w1"])
+    h = jax.nn.gelu(h, approximate=True)
+    h = int8_dense_shared(h, p["w2"])
+    return layer_norm(h + x, p["ln"])
+
+
+def _extend_mask(mask):
+    if mask is None:
+        return None
+    return ((1.0 - mask.astype(jnp.float32)) * NEG_INF)[
+        :, None, None, :].astype(jnp.bfloat16)
+
+
+def lxmert_forward(qp: Dict, input_ids, visual_feats, visual_pos,
+                   attention_mask=None, visual_attention_mask=None,
+                   n_heads: int = 12):
+    """Returns (lang, visn, pooled), all bf16."""
+    lang_bias = _extend_mask(attention_mask)
+    visn_bias = _extend_mask(visual_attention_mask)
+
+    emb = qp["embeddings"]
+    B, L = input_ids.shape
+    h = (jnp.take(emb["word"], input_ids, axis=0)
+         + emb["pos"][None, :L]
+         + emb["type"][0][None, None, :])
+    lang = layer_norm(h, emb["ln"])
+
+    vf = qp["visn_fc"]
+    x = int8_dense_shared(visual_feats.astype(jnp.bfloat16), vf["feat"])
+    x = layer_norm(x, vf["feat_ln"])
+    y = visual_pos.astype(jnp.bfloat16) @ vf["box_kernel"] + vf["box_bias"]
+    y = layer_norm(y, vf["box_ln"])
+    visn = (x + y) * jnp.bfloat16(0.5)
+
+    for p in qp["lang_layers"]:
+        lang = _self_attention(lang, p["att"], lang_bias, n_heads)
+        lang = _ffn_apply(lang, p["ffn"])
+    for p in qp["visn_layers"]:
+        visn = _self_attention(visn, p["att"], visn_bias, n_heads)
+        visn = _ffn_apply(visn, p["ffn"])
+    for p in qp["x_layers"]:
+        # shared cross-attn both directions; each side's KV computed once
+        lang_kv = int8_dense_shared(lang, p["cross"]["kv"])
+        visn_kv = int8_dense_shared(visn, p["cross"]["kv"])
+        new_lang = _cross_attention(lang, visn, p["cross"], visn_bias,
+                                    n_heads, ctx_kv=visn_kv)
+        new_visn = _cross_attention(visn, lang, p["cross"], lang_bias,
+                                    n_heads, ctx_kv=lang_kv)
+        lang = _self_attention(new_lang, p["lang_self"], lang_bias, n_heads)
+        visn = _self_attention(new_visn, p["visn_self"], visn_bias, n_heads)
+        lang = _ffn_apply(lang, p["lang_ffn"])
+        visn = _ffn_apply(visn, p["visn_ffn"])
+
+    pooled = jnp.tanh(lang[:, 0] @ qp["pooler"]["kernel"]
+                      + qp["pooler"]["bias"])
+    return lang, visn, pooled
+
+
+def answer_head_forward(hp: Dict, pooled):
+    h = int8_dense_shared(pooled, hp["w1"])
+    h = jax.nn.gelu(h, approximate=True)
+    h = layer_norm(h, hp["ln"])
+    return int8_dense_shared(h, hp["w2"]).astype(jnp.float32)
+
+
+def make_vqa_serving_fn(cfg: LxmertConfig):
+    """Jitted int8 VQA forward: (qp, head_qp, ids, feats, pos, mask) ->
+    logits."""
+
+    @jax.jit
+    def fn(qp, head_qp, ids, feats, pos, mask):
+        _, _, pooled = lxmert_forward(qp, ids, feats, pos,
+                                      attention_mask=mask,
+                                      n_heads=cfg.num_attention_heads)
+        return answer_head_forward(head_qp, pooled)
+
+    return fn
