@@ -108,3 +108,36 @@ def test_grad_sync_across_mesh():
     leaf = state.params["bert"]["pooler"]["dense"]["kernel"]
     # fully replicated output sharding
     assert leaf.sharding.is_fully_replicated
+
+
+def test_non_clustering_with_feat_obj_attr_losses():
+    """Detector-vocab mode: exact feats in, obj/attr/feat losses
+    (reference non-clustering path, modeling.py:33-36,119-136)."""
+    from xlxmert_tpu.core.config import LxmertConfig, TrainConfig
+    from xlxmert_tpu.tasks.pretrain import PretrainEngine
+
+    model_cfg = LxmertConfig(
+        vocab_size=150, hidden_size=32, num_attention_heads=4,
+        intermediate_size=64, l_layers=1, x_layers=1, r_layers=1,
+        visual_feat_dim=16, num_object_labels=23, num_attr_labels=7,
+        num_clusters=0)
+    cfg = TrainConfig(batch_size=8, grid_size=4, clustering=False,
+                      visual_losses="obj,attr,feat", max_text_length=10,
+                      mixed_precision=False, lr=1e-3)
+    eng = PretrainEngine(cfg, model_cfg=model_cfg, total_steps=20)
+    state = eng.create_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    B, L, V = 8, 10, 16
+    batch = eng.place({
+        "word_id": rng.randint(1, 150, (B, L)).astype(np.int32),
+        "other_word_id": rng.randint(1, 150, (B, L)).astype(np.int32),
+        "matched_label": rng.randint(0, 2, (B,)).astype(np.int32),
+        "vis_feats": rng.randn(B, V, 16).astype(np.float32),
+        "cluster_id": rng.randint(0, 23, (B, V)).astype(np.int32),  # obj ids
+        "attr_label": rng.randint(0, 7, (B, V)).astype(np.int32),
+    })
+    centroids = jnp.zeros((1, 16))
+    state, m = eng.train_step("vis_mask")(state, batch,
+                                          jax.random.PRNGKey(1), centroids)
+    for k in ("obj_loss", "attr_loss", "feat_loss", "total_loss"):
+        assert np.isfinite(float(m[k])), k

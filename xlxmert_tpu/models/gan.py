@@ -45,9 +45,41 @@ class _resolution_channels:
         return min(512, self.base_dim)
 
 
+import functools
+
+import numpy as _np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(dst: int, src: int) -> _np.ndarray:
+    """(dst, src) bilinear interpolation matrix, half-pixel centers
+    (torch align_corners=False / jax.image.resize semantics for
+    upsampling)."""
+    W = _np.zeros((dst, src), _np.float32)
+    for t in range(dst):
+        x = (t + 0.5) * src / dst - 0.5
+        x0 = int(_np.floor(x))
+        w = x - x0
+        W[t, min(max(x0, 0), src - 1)] += 1.0 - w
+        W[t, min(max(x0 + 1, 0), src - 1)] += w
+    return W
+
+
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """NHWC bilinear resize, half-pixel centers (torch align_corners=False)."""
+    """NHWC bilinear resize, half-pixel centers (torch
+    align_corners=False).
+
+    Upsampling runs as two small matmuls against precomputed
+    interpolation matrices — MXU work with trivially small HLO, vs the
+    gather graphs of jax.image.resize (which blew the SPADE generator's
+    compile time to ~10 min). Downsampling falls back to jax.image.resize
+    (its antialiased kernel differs from plain bilinear)."""
     B, H, W, C = x.shape
+    if size[0] >= H and size[1] >= W:
+        wh = jnp.asarray(_interp_matrix(size[0], H), x.dtype)
+        ww = jnp.asarray(_interp_matrix(size[1], W), x.dtype)
+        y = jnp.einsum("th,bhwc->btwc", wh, x)
+        return jnp.einsum("sw,btwc->btsc", ww, y)
     return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear")
 
 

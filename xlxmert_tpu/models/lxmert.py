@@ -412,11 +412,15 @@ class PreTrainingHeads(nn.Module):
 
 
 class VisualObjHead(nn.Module):
-    """The reference's cluster-output visual head
+    """The reference's visual prediction head
     (x-lxmert/src/lxrt/modeling.py:8-53): transform -> linear_feat
-    (768->2048) -> out_cluster (2048->num_clusters). `out_cluster` weight is
-    TIED to the frozen k-means centroid table (modeling.py:140-151), so the
-    centroid matrix is passed at call time; out_cluster keeps only a bias.
+    (768->2048), then
+      - clustering mode (num_clusters > 0): out_cluster whose weight is
+        TIED to the frozen k-means centroid table (modeling.py:140-151) —
+        the centroid matrix is passed at call time; only a bias is kept;
+      - detector-vocab mode (num_clusters == 0): out_obj
+        (-> num_object_labels) and out_attr (-> num_attr_labels) Denses
+        (modeling.py:33-36), used with the bbox-feature path.
     """
 
     config: LxmertConfig
@@ -433,14 +437,25 @@ class VisualObjHead(nn.Module):
         if "feat" in out_keys:
             out["feat"] = feat
         if "obj" in out_keys:
-            # logits against the (num_clusters, 2048) centroid table — an
-            # MXU-friendly (B*64, 2048) x (2048, 10000) matmul.
-            bias = self.param("out_cluster_bias", nn.initializers.zeros,
-                              (cfg.num_clusters,), jnp.float32)
-            logits = jnp.einsum("blf,cf->blc", feat,
-                                centroids.astype(self.dtype),
-                                preferred_element_type=jnp.float32)
-            out["obj"] = logits + bias
+            if cfg.clustering:
+                # logits against the (num_clusters, 2048) centroid table —
+                # an MXU-friendly (B*64, 2048) x (2048, 10000) matmul.
+                bias = self.param("out_cluster_bias", nn.initializers.zeros,
+                                  (cfg.num_clusters,), jnp.float32)
+                logits = jnp.einsum("blf,cf->blc", feat,
+                                    centroids.astype(self.dtype),
+                                    preferred_element_type=jnp.float32)
+                out["obj"] = logits + bias
+            else:
+                out["obj"] = nn.Dense(
+                    cfg.num_object_labels, dtype=self.dtype,
+                    kernel_init=nn.initializers.normal(cfg.initializer_range),
+                    name="out_obj")(feat).astype(jnp.float32)
+        if "attr" in out_keys:
+            out["attr"] = nn.Dense(
+                cfg.num_attr_labels, dtype=self.dtype,
+                kernel_init=nn.initializers.normal(cfg.initializer_range),
+                name="out_attr")(feat).astype(jnp.float32)
         return out
 
 

@@ -88,13 +88,15 @@ class XLxmert(nn.Module):
                 out["lm_logits"] = lm_logits
             if "matched" in heads:
                 out["matched_logits"] = matched_logits
-        obj_keys = tuple(k for k in ("obj", "feat") if k in heads)
+        obj_keys = tuple(k for k in ("obj", "feat", "attr") if k in heads)
         if obj_keys:
             head_out = self.obj_predict_head(visn, centroids, out_keys=obj_keys)
             if "obj" in obj_keys:
                 out["obj_logits"] = head_out["obj"]
             if "feat" in obj_keys:
                 out["feat_pred"] = head_out["feat"]
+            if "attr" in obj_keys:
+                out["attr_logits"] = head_out["attr"]
         if "qa" in heads and self.task_qa:
             out["qa_logits"] = self.answer_head(pooled)
         return out
@@ -167,6 +169,11 @@ def pretrain_losses(out: Dict[str, jnp.ndarray], labels: Dict[str, jnp.ndarray],
             obj = cross_entropy_ignore(out["obj_logits"], labels["obj_labels"])
             losses["obj_loss"] = obj
             vis_total += obj
+        if "attr" in visual_loss_keys:
+            attr = cross_entropy_ignore(out["attr_logits"],
+                                        labels["attr_labels"])
+            losses["attr_loss"] = attr
+            vis_total += attr
         if "feat" in visual_loss_keys:
             fl = masked_feat_loss(out["feat_pred"], labels["feat_labels"],
                                   labels["vis_mask"])

@@ -63,7 +63,8 @@ def _task_heads(task: str, task_qa: bool, visual_loss_keys) -> Tuple[str, ...]:
     elif task == "matched":
         heads.append("matched")
     elif task == "vis_mask":
-        heads.extend(k for k in ("obj", "feat") if k in visual_loss_keys)
+        heads.extend(k for k in ("obj", "feat", "attr")
+                     if k in visual_loss_keys)
     if task_qa:
         heads.append("qa")
     return tuple(heads)
@@ -109,6 +110,9 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
         if "obj" in cfg.visual_loss_keys:
             labels["obj_labels"] = jnp.where(
                 vis_mask > 0, cluster_id, -100)
+        if "attr" in cfg.visual_loss_keys:
+            labels["attr_labels"] = jnp.where(
+                vis_mask > 0, batch["attr_label"], -100)
         if "feat" in cfg.visual_loss_keys:
             labels["feat_labels"] = batch["vis_feats"]
             labels["vis_mask"] = vis_mask
