@@ -174,3 +174,64 @@ def test_step5_sample_images(world):
     arr = np.load(codes[0])
     assert arr.shape == (2, GRID * GRID)
     assert (arr >= 0).all() and (arr < 10).all()
+
+
+def test_step6_nlvr2_cli(world):
+    from xlxmert_tpu.cli.nlvr2 import main
+
+    (world / "nlvr2").mkdir(exist_ok=True)
+    img_ids = [f"img{i:02d}" for i in range(12)]
+    data = [{"uid": f"u{q}", "img0": img_ids[q % 12],
+             "img1": img_ids[(q + 3) % 12], "sent": "a dog runs",
+             "label": q % 2, "identifier": f"id-{q}"} for q in range(12)]
+    (world / "nlvr2" / "train.json").write_text(json.dumps(data))
+    (world / "nlvr2" / "valid.json").write_text(json.dumps(data[:6]))
+    feat_dir = world / "nlvr2_imgfeat"
+    feat_dir.mkdir(exist_ok=True)
+    for split in ("train", "valid"):
+        link = feat_dir / f"maskrcnn_{split}_grid2.h5"
+        if not link.exists():
+            link.symlink_to(world / "mscoco_imgfeat" /
+                            "maskrcnn_train_grid2.h5")
+
+    main(["--train", "train", "--valid", "valid", "--epochs", "1",
+          "--batchSize", "8", "--data_root", str(world),
+          "--vocab", str(world / "vocab.txt"),
+          "--model_config", str(world / "model.yaml"),
+          "--grid_size", str(GRID),
+          "--output", str(world / "snap_nlvr2"), "--fp32"])
+    assert (world / "snap_nlvr2" / "BEST.msgpack").exists()
+
+    # CSV dump in test mode
+    main(["--test", "valid", "--batchSize", "8",
+          "--data_root", str(world), "--vocab", str(world / "vocab.txt"),
+          "--model_config", str(world / "model.yaml"),
+          "--grid_size", str(GRID),
+          "--load", str(world / "snap_nlvr2" / "BEST.msgpack"),
+          "--output", str(world / "snap_nlvr2"), "--fp32"])
+    csv = (world / "snap_nlvr2" / "nlvr2_valid_predict.csv").read_text()
+    lines = [l for l in csv.splitlines() if l]
+    assert len(lines) == 6
+    assert all(l.split(",")[1] in ("True", "False") for l in lines)
+
+
+def test_step7_pretrain_resume(world):
+    """Resume-by-checkpoint-name (reference lxmert_pretrain.py:679-685)."""
+    from xlxmert_tpu.cli.pretrain import main
+
+    cpath = (world / "cluster_centroids" /
+             "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
+    pkl = (world / "cluster_ids" /
+           "maskrcnn_train_grid2_img_id_to_cluster_id_10_iter3_d2048"
+           "_grid2.pkl")
+    main(["--taskMaskLM", "--taskMatched", "--clustering", "--grid_model",
+          "--grid_size", str(GRID), "--num_clusters", "10",
+          "--epochs", "2", "--batchSize", "8",
+          "--train", "mscoco_train", "--valid", "mscoco_minival",
+          "--data_root", str(world), "--vocab", str(world / "vocab.txt"),
+          "--centroid_path", str(cpath), "--cluster_pkl", str(pkl),
+          "--model_config", str(world / "model.yaml"),
+          "--output", str(world / "snap_resume"), "--fp32",
+          "--load", str(world / "snap_pretrain" / "Epoch01_LXRT.msgpack")])
+    # started at epoch 1, ran one more epoch -> Epoch02 written
+    assert (world / "snap_resume" / "Epoch02_LXRT.msgpack").exists()

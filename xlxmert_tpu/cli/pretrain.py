@@ -98,9 +98,17 @@ def main(argv=None):
     state = eng.create_state(jax.random.PRNGKey(cfg.seed))
     start_epoch = 0
     if cfg.load:
-        params = load_any_checkpoint(cfg.load)
+        from xlxmert_tpu.core.checkpoint import merge_params
+
+        loaded = load_any_checkpoint(cfg.load)
+        merged, missing, unexpected = merge_params(
+            jax.tree.map(np.asarray, state.params), loaded)
+        if missing or unexpected:
+            logger.info(f"checkpoint overlay (strict=False): "
+                        f"{len(missing)} missing, {len(unexpected)} "
+                        f"unexpected param paths")
         state = state.replace(params=jax.device_put(
-            jax.tree.map(jnp.asarray, params), state.params[
+            jax.tree.map(jnp.asarray, merged), state.params[
                 "bert"]["pooler"]["dense"]["kernel"].sharding))
         start_epoch = parse_start_epoch(cfg.load)
         logger.info(f"resumed from {cfg.load} at epoch {start_epoch}")

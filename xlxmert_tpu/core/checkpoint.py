@@ -34,6 +34,31 @@ def load_pytree(path: str, target: Optional[Any] = None) -> Any:
     return serialization.msgpack_restore(data)
 
 
+def merge_params(target: Any, loaded: Any):
+    """Overlay `loaded` onto `target` where paths match — strict=False
+    checkpoint loading (the reference loads every checkpoint this way).
+    Returns (merged, missing_paths, unexpected_paths)."""
+    missing, unexpected = [], []
+
+    def walk(t, l, prefix):
+        if not isinstance(t, dict):
+            return l
+        out = {}
+        for k, v in t.items():
+            if isinstance(l, dict) and k in l:
+                out[k] = walk(v, l[k], prefix + (k,))
+            else:
+                missing.append("/".join(prefix + (k,)))
+                out[k] = v
+        if isinstance(l, dict):
+            for k in l:
+                if k not in t:
+                    unexpected.append("/".join(prefix + (k,)))
+        return out
+
+    return walk(target, loaded, ()), missing, unexpected
+
+
 def epoch_ckpt_name(epoch: int) -> str:
     """Reference naming: Epoch%02d_LXRT (lxmert_pretrain.py:549)."""
     return f"Epoch{epoch:02d}_LXRT.msgpack"

@@ -65,6 +65,13 @@ def shard_batch(batch, mesh: Mesh):
     """Place a host batch (dict of arrays, leading dim = global batch) onto
     the mesh, sharded along `data`. Replaces DistributedSampler
     (lxmert_data.py:663-667) + per-rank H2D copies."""
+    n_data = mesh.shape["data"]
+    leaves = jax.tree.leaves(batch)
+    if leaves and leaves[0].shape[0] % n_data:
+        raise ValueError(
+            f"global batch size {leaves[0].shape[0]} must be divisible by "
+            f"the data-axis size {n_data} (devices in the mesh); "
+            f"pick --batchSize as a multiple of {n_data}")
     sh = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 

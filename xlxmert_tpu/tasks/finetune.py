@@ -93,9 +93,13 @@ class FinetuneEngine:
                         answer_table=None):
         """Overlay converted pretrain weights (bert + optional QA-head
         surgery) onto freshly-initialized finetune params."""
+        from xlxmert_tpu.core.checkpoint import merge_params
+
         new = dict(params)
         if "bert" in pretrain_params:
-            new["bert"] = pretrain_params["bert"]
+            # strict=False overlay (reference loads all ckpts that way)
+            new["bert"], _, _ = merge_params(params["bert"],
+                                             pretrain_params["bert"])
         if (label2ans is not None and answer_table is not None
                 and "answer_head" in pretrain_params):
             from xlxmert_tpu.data.answer_table import surgery_answer_head
