@@ -11,9 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Optional
-
-from xlxmert_tpu.core.config import FinetuneConfig, SampleConfig, TrainConfig
+from xlxmert_tpu.core.config import FinetuneConfig, TrainConfig
 
 
 def base_parser() -> argparse.ArgumentParser:

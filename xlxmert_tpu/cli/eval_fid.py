@@ -1,0 +1,86 @@
+"""FID evaluation CLI: compare a directory of generated images against a
+directory of real images (the COCO-FID generation-parity check,
+BASELINE.md).
+
+python -m xlxmert_tpu.cli.eval_fid --real_dir coco/val2014 \
+    --fake_dir samples/ --weights resnet50.pth [--image_size 256]
+
+With --weights omitted the feature extractor is random-init — valid ONLY
+for relative comparisons under the same seed, and flagged loudly.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--real_dir", required=True)
+    p.add_argument("--fake_dir", required=True)
+    p.add_argument("--weights", default=None,
+                   help="resnet50 .pth/.msgpack for the feature extractor")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--max_images", type=int, default=-1)
+    return p.parse_args(argv)
+
+
+def image_batches(directory, image_size, batch_size, max_images=-1):
+    from PIL import Image
+
+    paths = sorted(p for p in Path(directory).iterdir()
+                   if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
+    if max_images > 0:
+        paths = paths[:max_images]
+    batch = []
+    for p in paths:
+        img = Image.open(p).convert("RGB").resize(
+            (image_size, image_size), Image.LANCZOS)
+        batch.append(np.asarray(img, np.float32) / 255.0)
+        if len(batch) == batch_size:
+            yield np.stack(batch)
+            batch = []
+    if batch:
+        yield np.stack(batch)
+
+
+def main(argv=None):
+    ns = parse_args(argv)
+
+    import jax
+
+    from xlxmert_tpu.models.resnet import resnet50
+    from xlxmert_tpu.utils.fid import compute_fid, resnet_feature_fn
+
+    if ns.weights:
+        from xlxmert_tpu.core.checkpoint import load_any_checkpoint
+        from xlxmert_tpu.core.convert import split_variables
+
+        cols = split_variables(load_any_checkpoint(ns.weights))
+        variables = {"params": cols["params"],
+                     "batch_stats": cols.get("batch_stats", {})}
+    else:
+        print("WARNING: random-init feature extractor (no --weights) — "
+              "FID values are only comparable to each other, not to "
+              "published numbers")
+        model = resnet50()
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, ns.image_size, ns.image_size, 3), np.float32))
+
+    fn = resnet_feature_fn(variables)
+    fid = compute_fid(
+        image_batches(ns.real_dir, ns.image_size, ns.batch_size,
+                      ns.max_images),
+        image_batches(ns.fake_dir, ns.image_size, ns.batch_size,
+                      ns.max_images),
+        fn)
+    print(f"FID: {fid:.4f}")
+    return fid
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,6 @@ def run(task: str, argv=None):
     import jax.numpy as jnp
 
     from xlxmert_tpu.core.checkpoint import load_any_checkpoint, save_pytree
-    from xlxmert_tpu.core.config import LxmertConfig
     from xlxmert_tpu.core.metrics import LossMeter, RunLogger
     from xlxmert_tpu.data.answer_table import AnswerTable
     from xlxmert_tpu.data.datasets import GQADataset, NLVR2Dataset, VQADataset

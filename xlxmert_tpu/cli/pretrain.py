@@ -11,8 +11,6 @@ Replaces mp.spawn/DDP with one SPMD program; masking happens on device.
 """
 from __future__ import annotations
 
-import math
-import os
 import time
 from pathlib import Path
 
@@ -31,12 +29,11 @@ def main(argv=None):
     from xlxmert_tpu.core.checkpoint import (
         epoch_ckpt_name, load_any_checkpoint, parse_start_epoch, save_pytree,
     )
-    from xlxmert_tpu.core.config import LxmertConfig
     from xlxmert_tpu.core.metrics import LossMeter, RunLogger
     from xlxmert_tpu.data.datasets import PretrainDataset
     from xlxmert_tpu.data.io import ClusterMap, PrefetchLoader, load_json
     from xlxmert_tpu.data.fast_tokenizer import FastTokenizer as Tokenizer
-    from xlxmert_tpu.tasks.pretrain import PretrainEngine, TrainState
+    from xlxmert_tpu.tasks.pretrain import PretrainEngine
     from xlxmert_tpu.vocab.kmeans import centroid_filename
 
     is_main = jax.process_index() == 0

@@ -53,7 +53,6 @@ def main(argv=None):
 
     from xlxmert_tpu.core.checkpoint import load_any_checkpoint
     from xlxmert_tpu.core.config import LxmertConfig
-    from xlxmert_tpu.core.convert import load_torch_checkpoint
     from xlxmert_tpu.data.tokenization import Tokenizer
     from xlxmert_tpu.models.gan import Generator
     from xlxmert_tpu.models.xlxmert import XLxmert

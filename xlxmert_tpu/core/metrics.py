@@ -18,7 +18,7 @@ import logging
 import time
 from collections import deque
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 
 class LossMeter:

@@ -7,7 +7,7 @@ optax.MultiSteps.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import optax
 

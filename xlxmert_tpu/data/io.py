@@ -16,8 +16,7 @@ from __future__ import annotations
 import json
 import pickle
 import threading
-from pathlib import Path
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ id = line number) — pass the bert-base-uncased file for checkpoint parity.
 from __future__ import annotations
 
 import unicodedata
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List
 
 import numpy as np
 

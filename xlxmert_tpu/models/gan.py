@@ -20,7 +20,7 @@ mutable 'sn' collection so converted checkpoints keep plain kernel paths.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ convert mechanically (core/convert.py); BatchNorm runs with running stats
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,6 @@ followed here (static shapes, VMEM blocks, fp32 MXU accumulation).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,8 +15,6 @@ VMEM, which is the right trade on TPU.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -30,8 +30,7 @@ once per layer input, chain matmuls in VMEM) — future-round work.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ update_freq accumulation (vqa.py:152-159), best/last checkpointing
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp

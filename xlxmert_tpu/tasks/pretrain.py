@@ -17,7 +17,6 @@ TPU-native re-design:
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

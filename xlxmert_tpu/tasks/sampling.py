@@ -22,7 +22,7 @@ rendering to pixels is the SPADE generator's job (models/gan.py).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ collection); the frozen perceptual encoder executes in the same program.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

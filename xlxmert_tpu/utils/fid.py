@@ -15,7 +15,7 @@ the symmetrized product) is exact and tested against a numpy oracle.
 """
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Callable, Iterable, Tuple
 
 import numpy as np
 

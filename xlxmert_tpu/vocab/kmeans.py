@@ -14,7 +14,7 @@ from faiss's internal MPI-free loop). Assignment is chunked so the
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
