@@ -103,7 +103,8 @@ def main(argv=None):
         lambda_feat=ns.feat_loss_lambda,
         g_lr=ns.g_lr, d_lr=ns.d_lr, batch_size=ns.batch_size,
         epochs=ns.epochs, seed=ns.seed, output=ns.output,
-        mixed_precision=not ns.fp32)
+        mixed_precision=not ns.fp32,
+        n_classes=int(np.load(ns.centroids, mmap_mode="r").shape[0]))
 
     logger = RunLogger(cfg.output, cfg, enabled=jax.process_index() == 0)
 

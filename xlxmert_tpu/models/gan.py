@@ -374,17 +374,19 @@ class Discriminator(nn.Module):
         if self.acgan:
             emb = SNConv(self.emb_dim, 1, use_sn=False, dtype=self.dtype,
                          name="emb_proj")(h)
-            # classifier tied to centroids: (B,H,W,2048) x (C,2048)^T
+            # classifier tied to centroids: (B,H,W,2048) x (C,2048)^T.
+            # The tie makes the centroid table authoritative for the class
+            # count (guards against config/table mismatch).
+            n_classes = centroids.shape[0]
             cls_bias = self.param("emb_classifier_bias",
                                   nn.initializers.zeros,
-                                  (self.n_classes,), jnp.float32)
+                                  (n_classes,), jnp.float32)
             logits = jnp.einsum("bhwd,cd->bhwc", emb,
                                 centroids.astype(self.dtype),
                                 preferred_element_type=jnp.float32)
             logits = logits + cls_bias
             B = x.shape[0]
-            logits = logits.reshape(B * self.init_H * self.init_W,
-                                    self.n_classes)
+            logits = logits.reshape(B * self.init_H * self.init_W, n_classes)
             return adv.astype(jnp.float32), D_layers, logits
 
         # projection discriminator (layers.py:493-496,536-546)
