@@ -208,8 +208,16 @@ class PretrainEngine:
             losses = pretrain_losses(out, labels, task, cfg.visual_loss_keys,
                                      cfg.task_qa)
             metrics = {k: v for k, v in losses.items() if k != "qa_pred"}
-            if cfg.task_qa:
-                metrics["qa_pred"] = losses.get("qa_pred")
+            if cfg.task_qa and "qa_pred" in losses:
+                # in-program QA accuracy over labeled examples — the
+                # SPMD replacement for the QAEvaluator epoch reduce
+                # (lxmert_pretrain.py:462-481)
+                qa = labels["qa_labels"]
+                valid = qa >= 0
+                correct = (losses["qa_pred"] == qa) & valid
+                metrics["qa_acc"] = (correct.sum().astype(jnp.float32)
+                                     / jnp.maximum(valid.sum(), 1))
+                metrics["qa_pred"] = losses["qa_pred"]
             return losses["total_loss"], metrics
 
         if train:
