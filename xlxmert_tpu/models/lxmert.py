@@ -47,6 +47,11 @@ NEG_INF = -1e9  # large-negative additive mask (fp32-safe, bf16-safe)
 #   ATTENTION_IMPL: "pallas" routes attention through the fused VMEM
 #     kernel (ops/attention.py); "xla" keeps the einsum formulation.
 # Flipped together by `serving_mode()`; deviation is within bf16 rounding.
+#
+# Measured dead end (don't redo): fusing QKV into one matmul by
+# concatenating the three kernels at call time LOWERS throughput
+# (7966 vs 8547 q/s at B=256) — the per-call weight concat costs more
+# than the saved launches; XLA already handles same-LHS matmuls well.
 FAST_SOFTMAX = False
 FAST_GELU = False
 ATTENTION_IMPL = "xla"
