@@ -55,16 +55,25 @@ NEG_INF = -1e9  # large-negative additive mask (fp32-safe, bf16-safe)
 FAST_SOFTMAX = False
 FAST_GELU = False
 ATTENTION_IMPL = "xla"
+# FUSED_FFN routes each Intermediate+FFOutput pair through the Pallas
+# fused-FFN kernel (ops/ffn.py): the (rows, 3072) intermediate stays in
+# VMEM instead of round-tripping HBM between the two matmuls. MEASURED
+# SLOWER at B=256 (7518 vs 8547 q/s): the weight chunks are re-streamed
+# per row tile, which costs more than the intermediate saves at these
+# sizes — opt-in only.
+FUSED_FFN = False
 
 
-def serving_mode(on: bool = True, attention: str = "xla") -> None:
+def serving_mode(on: bool = True, attention: str = "xla",
+                 fused_ffn: bool = False) -> None:
     # attention="xla" is the measured winner at LXRT's tiny sequence
     # shapes (see ops/attention.py docstring); "pallas" is the fused
     # VMEM kernel, opt-in.
-    global FAST_SOFTMAX, FAST_GELU, ATTENTION_IMPL
+    global FAST_SOFTMAX, FAST_GELU, ATTENTION_IMPL, FUSED_FFN
     FAST_SOFTMAX = on
     FAST_GELU = on
     ATTENTION_IMPL = attention if on else "xla"
+    FUSED_FFN = fused_ffn and on
 
 
 def _gelu(x):
@@ -198,6 +207,79 @@ class FFOutput(nn.Module):
                             name="LayerNorm")(h + input_tensor)
 
 
+class _DenseParams(nn.Module):
+    """Param-only mirror of nn.Dense (same kernel/bias paths)."""
+
+    in_features: int
+    features: int
+    std: float
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.normal(self.std),
+                       (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class _IntermediateParams(nn.Module):
+    """Param-only mirror of Intermediate: <name>/dense/{kernel,bias}."""
+
+    config: LxmertConfig
+
+    @nn.compact
+    def __call__(self):
+        cfg = self.config
+        return _DenseParams(cfg.hidden_size, cfg.intermediate_size,
+                            cfg.initializer_range, name="dense")()
+
+
+class _FFOutputParams(nn.Module):
+    """Param-only mirror of FFOutput: dense/{kernel,bias} +
+    LayerNorm/{scale,bias}."""
+
+    config: LxmertConfig
+
+    @nn.compact
+    def __call__(self):
+        cfg = self.config
+        w, b = _DenseParams(cfg.intermediate_size, cfg.hidden_size,
+                            cfg.initializer_range, name="dense")()
+        scale = self.param_child_ln()
+        return w, b, scale
+
+    def param_child_ln(self):
+        class _LN(nn.Module):
+            hid: int
+
+            @nn.compact
+            def __call__(inner):
+                g = inner.param("scale", nn.initializers.ones,
+                                (inner.hid,), jnp.float32)
+                be = inner.param("bias", nn.initializers.zeros,
+                                 (inner.hid,), jnp.float32)
+                return g, be
+
+        return _LN(self.config.hidden_size, name="LayerNorm")()
+
+
+def _ffn_block(cfg: LxmertConfig, dtype, att, deterministic: bool,
+               inter_name: str, out_name: str):
+    """Intermediate -> FFOutput, via the fused Pallas kernel on the
+    serving path (FUSED_FFN). Both branches declare identical param trees,
+    so a model initialized on either path applies on both."""
+    if FUSED_FFN and deterministic:
+        from xlxmert_tpu.ops.ffn import fused_ffn
+
+        w1, b1 = _IntermediateParams(cfg, name=inter_name)()
+        w2, b2, (g, be) = _FFOutputParams(cfg, name=out_name)()
+        return fused_ffn(att.astype(dtype), w1, b1, w2, b2, g, be,
+                         approx_gelu=FAST_GELU, eps=cfg.layer_norm_eps)
+    inter = Intermediate(cfg, dtype, name=inter_name)(att)
+    return FFOutput(cfg, dtype, name=out_name)(inter, att, deterministic)
+
+
 class TransformerLayer(nn.Module):
     """Self-attn + FFN block (HF LxmertLayer): language and relational stacks."""
 
@@ -208,9 +290,8 @@ class TransformerLayer(nn.Module):
     def __call__(self, x, attention_bias=None, deterministic: bool = True):
         att = SelfAttentionLayer(self.config, self.dtype, name="attention")(
             x, attention_bias, deterministic)
-        inter = Intermediate(self.config, self.dtype, name="intermediate")(att)
-        return FFOutput(self.config, self.dtype, name="output")(
-            inter, att, deterministic)
+        return _ffn_block(self.config, self.dtype, att, deterministic,
+                          "intermediate", "output")
 
 
 class XLayer(nn.Module):
@@ -235,12 +316,10 @@ class XLayer(nn.Module):
         visn_att = SelfAttentionLayer(self.config, self.dtype, name="visn_self_att")(
             visn_att, visn_bias, deterministic)
 
-        lang_inter = Intermediate(self.config, self.dtype, name="lang_inter")(lang_att)
-        visn_inter = Intermediate(self.config, self.dtype, name="visn_inter")(visn_att)
-        lang_out = FFOutput(self.config, self.dtype, name="lang_output")(
-            lang_inter, lang_att, deterministic)
-        visn_out = FFOutput(self.config, self.dtype, name="visn_output")(
-            visn_inter, visn_att, deterministic)
+        lang_out = _ffn_block(self.config, self.dtype, lang_att,
+                              deterministic, "lang_inter", "lang_output")
+        visn_out = _ffn_block(self.config, self.dtype, visn_att,
+                              deterministic, "visn_inter", "visn_output")
         return lang_out, visn_out
 
 
