@@ -61,18 +61,49 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host batch (dict of arrays, leading dim = global batch) onto
-    the mesh, sharded along `data`. Replaces DistributedSampler
-    (lxmert_data.py:663-667) + per-rank H2D copies."""
-    n_data = mesh.shape["data"]
+def shard_batch(batch, mesh: Mesh, process_local: Optional[bool] = None):
+    """Place a host batch (dict of arrays) onto the mesh, sharded along
+    `data`. Replaces DistributedSampler (lxmert_data.py:663-667) + per-rank
+    H2D copies.
+
+    Single-process: `batch` is the global batch; leaves are device_put
+    with a batch-dim NamedSharding.
+
+    Multi-host (`jax.process_count() > 1`, or `process_local=True`): each
+    host passes only ITS slice of the global batch — what its
+    `dataset.shard(process_index, process_count)`-ed loader yields, the
+    same per-rank contract as the reference's DistributedSampler — and the
+    global jax.Array is assembled from the process-local shards via
+    `jax.make_array_from_process_local_data` (no host ever materializes
+    the full batch). The global batch is therefore
+    `local_batch * process_count`, matching the reference's per-rank
+    `--batchSize` semantics (lxmert_pretrain.py:743-755).
+    """
+    if process_local is None:
+        process_local = jax.process_count() > 1
+    sh = data_sharding(mesh)
     leaves = jax.tree.leaves(batch)
+
+    if process_local:
+        n_proc = jax.process_count()
+        local_devices = max(mesh.shape["data"] // n_proc, 1)
+        if leaves and leaves[0].shape[0] % local_devices:
+            raise ValueError(
+                f"per-host batch size {leaves[0].shape[0]} must be divisible "
+                f"by the {local_devices} local devices on the data axis")
+
+        def put(x):
+            global_shape = (x.shape[0] * n_proc,) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+        return jax.tree.map(put, batch)
+
+    n_data = mesh.shape["data"]
     if leaves and leaves[0].shape[0] % n_data:
         raise ValueError(
             f"global batch size {leaves[0].shape[0]} must be divisible by "
             f"the data-axis size {n_data} (devices in the mesh); "
             f"pick --batchSize as a multiple of {n_data}")
-    sh = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
