@@ -92,3 +92,51 @@ def test_render_range_and_shape():
     img = np.asarray(img)
     assert img.shape == (8, cfg.target_size, cfg.target_size, 3)
     assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_spade_bn_trains_with_synced_stats():
+    """norm_type="spade_bn" (main.py:149-151 SyncBatchNorm equivalent):
+    running stats exist, update during training, and are computed over the
+    GLOBAL batch — the same values whether the batch is sharded over the
+    8-device mesh or lives on one device."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg(), norm_type="spade_bn")
+    eng = GanEngine(cfg)
+    batch_np, centroids_np = make_batch(cfg)
+    centroids = jnp.asarray(centroids_np)
+    state = eng.create_state(jax.random.PRNGKey(0), centroids)
+    assert jax.tree.leaves(state.stats_g), "batch_stats missing"
+    stats0 = jax.tree.map(np.asarray, state.stats_g)
+
+    batch = eng.place(batch_np)
+    state, dm = eng.d_step()(state, batch, centroids, jax.random.PRNGKey(1))
+    state, gm = eng.g_step()(state, batch, centroids, jax.random.PRNGKey(2))
+    assert np.isfinite(float(gm["g_total"]))
+    stats1 = jax.tree.map(np.asarray, state.stats_g)
+    moved = any(np.abs(a - b).max() > 0 for a, b in
+                zip(jax.tree.leaves(stats0), jax.tree.leaves(stats1)))
+    assert moved, "running stats did not update"
+
+    # sync semantics: a train-mode forward over the mesh-sharded batch
+    # must equal the single-device forward (stats are global-batch)
+    code = jnp.asarray(batch_np["code"])
+    out_local = eng.G.apply(
+        {"params": state.params_g, "sn": state.sn_g,
+         "batch_stats": state.stats_g}, code, train=True,
+        rngs={"noise": jax.random.PRNGKey(0)}, mutable=["batch_stats"])[0]
+
+    from xlxmert_tpu.parallel.mesh import data_sharding
+
+    code_sharded = jax.device_put(code, data_sharding(eng.mesh))
+    out_sharded = jax.jit(lambda c: eng.G.apply(
+        {"params": state.params_g, "sn": state.sn_g,
+         "batch_stats": state.stats_g}, c, train=True,
+        rngs={"noise": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"])[0])(code_sharded)
+    np.testing.assert_allclose(np.asarray(out_local),
+                               np.asarray(out_sharded), atol=2e-5)
+
+    # eval path consumes the running stats through render()
+    img = eng.render()(state.params_g, state.sn_g, code, state.stats_g)
+    assert np.isfinite(np.asarray(img)).all()

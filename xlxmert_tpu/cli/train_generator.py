@@ -157,10 +157,11 @@ def main(argv=None):
         logger.info(f"epoch {epoch}: G {meters['g'].val:.4f} "
                     f"D {meters['d'].val:.4f} ({time.time()-t0:.0f}s)")
         if jax.process_index() == 0:
-            save_pytree(
-                {"params": jax.tree.map(np.asarray, state.params_g),
-                 "sn": jax.tree.map(np.asarray, state.sn_g)},
-                str(Path(cfg.output) / f"G_{epoch}.msgpack"))
+            tree = {"params": jax.tree.map(np.asarray, state.params_g),
+                    "sn": jax.tree.map(np.asarray, state.sn_g)}
+            if state.stats_g:
+                tree["batch_stats"] = jax.tree.map(np.asarray, state.stats_g)
+            save_pytree(tree, str(Path(cfg.output) / f"G_{epoch}.msgpack"))
     logger.close()
 
 

@@ -165,15 +165,51 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 class SPADE(nn.Module):
-    """layers.py:9-47. y (the code map) is bilinear-resized to x's size."""
+    """layers.py:9-47. y (the code map) is bilinear-resized to x's size.
+
+    norm_type "instance" (default) or "batch" (layers.py:14-17,
+    BatchNorm2d(affine=False)). The batch variant computes statistics over
+    the GLOBAL batch: inside the jitted SPMD program the batch axis is
+    sharded over the data mesh, so XLA turns the (N,H,W) mean/var into
+    cross-replica reductions — the TPU-native equivalent of the
+    reference's SyncBatchNorm conversion (main.py:149-151), with no
+    wrapper class needed. Running stats live in the 'batch_stats'
+    collection (torch momentum 0.1) and are used when train=False.
+    """
 
     x_dim: int
     nhidden: int = 128
+    norm_type: str = "instance"
     dtype: Dtype = jnp.float32
 
+    def _batch_norm(self, x, train: bool, eps: float = 1e-5,
+                    momentum: float = 0.1):
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.x_dim,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.x_dim,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if train:
+            mean = xf.mean(axis=(0, 1, 2))
+            var = xf.var(axis=(0, 1, 2))
+            if not self.is_initializing() and \
+                    self.is_mutable_collection("batch_stats"):
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = ((1 - momentum) * ra_mean.value
+                                 + momentum * mean)
+                ra_var.value = ((1 - momentum) * ra_var.value
+                                + momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(self.dtype)
+
     @nn.compact
-    def __call__(self, x, y):
-        normalized = instance_norm(x.astype(jnp.float32)).astype(self.dtype)
+    def __call__(self, x, y, train: bool = True):
+        if self.norm_type == "batch":
+            normalized = self._batch_norm(x, train)
+        else:
+            normalized = instance_norm(x.astype(jnp.float32)).astype(self.dtype)
         y = resize_bilinear(y, (x.shape[1], x.shape[2]))
         actv = nn.relu(SNConv(self.nhidden, 3, use_sn=False, dtype=self.dtype,
                               name="shared_0")(y))
@@ -204,19 +240,23 @@ class GeneratorResidualBlock(nn.Module):
     n_out: int
     upscale: bool = True
     use_sn: bool = True
+    norm_type: str = "instance"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, y, noise: bool = False, update_sn: bool = False):
+    def __call__(self, x, y, noise: bool = False, update_sn: bool = False,
+                 train: bool = True):
         n_in = x.shape[-1]
-        h = SPADE(n_in, dtype=self.dtype, name="cbn1")(x, y)
+        h = SPADE(n_in, norm_type=self.norm_type, dtype=self.dtype,
+                  name="cbn1")(x, y, train)
         h = NoiseInjection(name="noise1")(h, noise)
         h = nn.leaky_relu(h, 0.2)
         if self.upscale:
             h = upsample2x(h)
         h = SNConv(self.n_out, 3, self.use_sn, dtype=self.dtype,
                    name="conv1")(h, update_sn)
-        h = SPADE(self.n_out, dtype=self.dtype, name="cbn2")(h, y)
+        h = SPADE(self.n_out, norm_type=self.norm_type, dtype=self.dtype,
+                  name="cbn2")(h, y, train)
         h = NoiseInjection(name="noise2")(h, noise)
         h = nn.leaky_relu(h, 0.2)
         h = SNConv(self.n_out, 3, self.use_sn, dtype=self.dtype,
@@ -254,6 +294,7 @@ class Generator(nn.Module):
     init_W: int = 8
     use_sn: bool = True
     codebook_dim: int = 256
+    norm_type: str = "spade_in"  # "spade_in" | "spade_bn" (configs.py:107)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -283,8 +324,10 @@ class Generator(nn.Module):
                 res = res * 2
             h = GeneratorResidualBlock(
                 chans[res], upscale=upscale, use_sn=self.use_sn,
+                norm_type=("batch" if "bn" in self.norm_type
+                           else "instance"),
                 dtype=self.dtype, name=f"resblocks_{i}")(
-                    h, y, noise=train, update_sn=update_sn)
+                    h, y, noise=train, update_sn=update_sn, train=train)
             rgb_up = (i + 1) < n_blocks
             out = out + ToRGB(self.target_size, dtype=self.dtype,
                               name=f"to_RGB_blocks_{i}")(h, up=rgb_up)

@@ -37,6 +37,9 @@ class GanState(struct.PyTreeNode):
     sn_d: Any
     opt_g: Any
     opt_d: Any
+    # BN running stats for norm_type="spade_bn" (empty dict otherwise);
+    # stats are global-batch (SyncBatchNorm-equivalent, models/gan.py SPADE)
+    stats_g: Any
     tx_g: optax.GradientTransformation = struct.field(pytree_node=False)
     tx_d: optax.GradientTransformation = struct.field(pytree_node=False)
 
@@ -67,7 +70,8 @@ class GanEngine:
             emb_dim=cfg.emb_dim, base_dim=cfg.g_base_dim,
             target_size=cfg.target_size, extra_layers=cfg.extra_layers,
             init_H=cfg.init_H, init_W=cfg.init_W, use_sn=cfg.SN,
-            codebook_dim=cfg.codebook_dim, dtype=dtype)
+            codebook_dim=cfg.codebook_dim, norm_type=cfg.norm_type,
+            dtype=dtype)
         self.D = Discriminator(
             base_dim=cfg.d_base_dim, emb_dim=cfg.emb_dim,
             target_size=cfg.target_size, extra_layers=cfg.extra_layers,
@@ -103,6 +107,7 @@ class GanEngine:
             sn_g=g_vars.get("sn", {}), sn_d=d_vars.get("sn", {}),
             opt_g=self.tx_g.init(g_vars["params"]),
             opt_d=self.tx_d.init(d_vars["params"]),
+            stats_g=g_vars.get("batch_stats", {}),
             tx_g=self.tx_g, tx_d=self.tx_d)
         return replicate(state, self.mesh)
 
@@ -136,8 +141,9 @@ class GanEngine:
 
             def loss_fn(params_g):
                 fake, g_muts = G.apply(
-                    {"params": params_g, "sn": state.sn_g}, code, train=True,
-                    update_sn=True, mutable=["sn"],
+                    {"params": params_g, "sn": state.sn_g,
+                     "batch_stats": state.stats_g}, code, train=True,
+                    update_sn=True, mutable=["sn", "batch_stats"],
                     rngs={"noise": jax.random.fold_in(rng, state.step)})
                 d_out = D.apply(
                     {"params": state.params_d, "sn": state.sn_d}, fake,
@@ -178,7 +184,8 @@ class GanEngine:
             new_state = state.replace(
                 step=state.step + 1,
                 params_g=optax.apply_updates(state.params_g, updates),
-                opt_g=opt_g, sn_g=g_muts["sn"])
+                opt_g=opt_g, sn_g=g_muts["sn"],
+                stats_g=g_muts.get("batch_stats", state.stats_g))
             return new_state, metrics
 
         self._g_step = jax.jit(step, donate_argnums=(0,))
@@ -193,9 +200,12 @@ class GanEngine:
             real = batch["image"]
             code = batch["code"]
             ids = batch["cluster_id"]
-            fake = G.apply(
-                {"params": state.params_g, "sn": state.sn_g}, code,
-                train=True,
+            # train-mode G forward (torch updates BN running stats on every
+            # train forward, including the D step's) — keep the stat update
+            fake, g_muts = G.apply(
+                {"params": state.params_g, "sn": state.sn_g,
+                 "batch_stats": state.stats_g}, code,
+                train=True, mutable=["batch_stats"],
                 rngs={"noise": jax.random.fold_in(rng, state.step)})
             fake = jax.lax.stop_gradient(fake)
 
@@ -228,7 +238,8 @@ class GanEngine:
                                                state.params_d)
             new_state = state.replace(
                 params_d=optax.apply_updates(state.params_d, updates),
-                opt_d=opt_d, sn_d=d_muts["sn"])
+                opt_d=opt_d, sn_d=d_muts["sn"],
+                stats_g=g_muts.get("batch_stats", state.stats_g))
             return new_state, metrics
 
         self._d_step = jax.jit(step, donate_argnums=(0,))
@@ -240,8 +251,11 @@ class GanEngine:
         G = self.G
 
         @jax.jit
-        def fn(params_g, sn_g, code):
-            img = G.apply({"params": params_g, "sn": sn_g}, code, train=False)
+        def fn(params_g, sn_g, code, stats_g=None):
+            variables = {"params": params_g, "sn": sn_g}
+            if stats_g:
+                variables["batch_stats"] = stats_g
+            img = G.apply(variables, code, train=False)
             return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
 
         return fn
