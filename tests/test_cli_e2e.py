@@ -176,6 +176,44 @@ def test_step5_sample_images(world):
     assert (arr >= 0).all() and (arr < 10).all()
 
 
+def test_step5b_sample_images_intermediate_renders(world):
+    """--save_intermediate: per-step renders (imggen_model.py:245-248)."""
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.cli.sample_images import main
+    from xlxmert_tpu.core.checkpoint import save_pytree
+    from xlxmert_tpu.models.gan import Generator
+
+    cpath = (world / "cluster_centroids" /
+             "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
+    feat_dim = np.load(cpath).shape[1]
+    gen = Generator(emb_dim=feat_dim, base_dim=8, target_size=8,
+                    init_H=GRID, init_W=GRID, codebook_dim=8)
+    g_vars = gen.init({"params": jax.random.PRNGKey(0), "noise":
+                       jax.random.PRNGKey(1)},
+                      jnp.zeros((1, GRID, GRID, feat_dim)), train=True)
+    gpath = world / "G_tiny.msgpack"
+    save_pytree({"params": g_vars["params"], "sn": g_vars.get("sn", {})},
+                str(gpath))
+
+    steps = 2
+    main(["--load", str(world / "snap_pretrain" / "Epoch01_LXRT.msgpack"),
+          "--centroids", str(cpath),
+          "--vocab", str(world / "vocab.txt"),
+          "--sentences", str(world / "sentences.txt"),
+          "--model_config", str(world / "model.yaml"),
+          "--grid_size", str(GRID), "--sample_steps", str(steps),
+          "--batch_size", "2", "--generator", str(gpath),
+          "--target_size", "8", "--g_base_dim", "8", "--codebook_dim", "8",
+          "--save_intermediate",
+          "--output", str(world / "samples_inter")])
+    finals = list((world / "samples_inter").glob("*.png"))
+    assert finals, "no final renders"
+    for t in range(steps):
+        step_pngs = list((world / "samples_inter" / f"step{t}").glob("*.png"))
+        assert step_pngs, f"no intermediate renders for step {t}"
+
+
 def test_step6_nlvr2_cli(world):
     from xlxmert_tpu.cli.nlvr2 import main
 

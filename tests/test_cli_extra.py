@@ -92,3 +92,44 @@ def test_eval_fid_cli(tmp_path):
                 "--image_size", "64", "--batch_size", "6"])
     assert np.isfinite(close) and np.isfinite(far)
     assert close < far  # closer distribution scores lower
+
+
+def test_extract_features_maskrcnn_arch(tmp_path):
+    """--arch maskrcnn: Detectron fc6 grid path writes the reference h5
+    contract (coco_extract_grid_feature.py:256-260) in both size modes."""
+    import h5py
+    from PIL import Image
+
+    from xlxmert_tpu.cli.extract_features import main as extract_main
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i, (h, w) in enumerate([(48, 64), (64, 48), (36, 36)]):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            img_dir / f"im{i}.jpg")
+
+    out = tmp_path / "maskrcnn_test_grid2.h5"
+    extract_main(["--images_dir", str(img_dir), "--out", str(out),
+                  "--arch", "maskrcnn", "--tiny_detectron",
+                  "--grid_size", "2", "--image_size", "64",
+                  "--batch_size", "2"])
+    with h5py.File(out) as f:
+        assert set(f.keys()) == {"im0", "im1", "im2"}
+        feats = f["im0"]["features"][()]
+        assert feats.shape == (2, 2, 24)  # tiny mlp_dim=24
+        assert np.isfinite(feats).all()
+        assert (feats >= 0).all()  # fc6 post-ReLU
+
+    # reference min-800/max-1333 mode (image_size 0) on ONE small image
+    solo = tmp_path / "solo"
+    solo.mkdir()
+    Image.fromarray(rng.randint(0, 255, (40, 52, 3), np.uint8)).save(
+        solo / "one.jpg")
+    out2 = tmp_path / "native.h5"
+    extract_main(["--images_dir", str(solo), "--out", str(out2),
+                  "--arch", "maskrcnn", "--tiny_detectron",
+                  "--grid_size", "2", "--image_size", "0",
+                  "--batch_size", "1"])
+    with h5py.File(out2) as f:
+        assert f["one"]["features"][()].shape == (2, 2, 24)

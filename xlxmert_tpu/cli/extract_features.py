@@ -27,11 +27,107 @@ def parse_args(argv=None):
                    help="resnet .pth/.msgpack (random init if omitted — "
                    "for pipeline testing only)")
     p.add_argument("--arch", default="resnet50",
-                   choices=["resnet50", "resnet101"])
+                   choices=["resnet50", "resnet101", "maskrcnn"],
+                   help="maskrcnn = the Detectron X-152-FPN fc6 graph the "
+                   "released checkpoints were trained on (models/detectron)")
     p.add_argument("--grid_size", type=int, default=8)
-    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--image_size", type=int, default=256,
+                   help="square resize (resnet archs); for maskrcnn this is "
+                   "the --imsize mode, 0 = reference min-800/max-1333")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--tiny_detectron", action="store_true",
+                   help="tiny random maskrcnn config (pipeline tests)")
     return p.parse_args(argv)
+
+
+def run_maskrcnn(ns):
+    """Detectron grid path: preprocess (BGR-mean, min-800/max-1333 or
+    --image_size square), batched fc6 extraction, h5 contract
+    (coco_extract_grid_feature.py:236-260)."""
+    import h5py
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from xlxmert_tpu.core.checkpoint import load_any_checkpoint
+    from xlxmert_tpu.models.detectron import (
+        DetectronConfig, DetectronGridExtractor,
+        convert_detectron_state_dict, detectron_resize_shape,
+        preprocess_image, tiny_detectron_config)
+
+    cfg = tiny_detectron_config() if ns.tiny_detectron else DetectronConfig()
+    model = DetectronGridExtractor(cfg, grid_size=ns.grid_size)
+    imsize = ns.image_size or None
+
+    paths = sorted(p for p in Path(ns.images_dir).iterdir()
+                   if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
+    print(f"{len(paths)} images")
+
+    # fixed canvas: one compiled program for the whole run
+    if imsize:
+        canvas_hw = (imsize, imsize)
+    else:
+        shapes = []
+        for p in paths:
+            with Image.open(p) as im:
+                shapes.append(detectron_resize_shape(im.height, im.width))
+        canvas_hw = (max(s[0] for s in shapes), max(s[1] for s in shapes))
+    print(f"canvas {canvas_hw}")
+
+    if ns.weights:
+        ckpt = load_any_checkpoint(ns.weights)
+        sd = ckpt.get("model", ckpt)
+        params = convert_detectron_state_dict(sd, cfg)
+    else:
+        print("WARNING: random-init detector (no --weights) — features are "
+              "for pipeline testing only")
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, *canvas_hw, 3)),
+            jnp.asarray([[canvas_hw[0], canvas_hw[1]]], jnp.int32))["params"]
+
+    extract = jax.jit(
+        lambda params, images, sizes: model.apply(
+            {"params": params}, images, sizes))
+
+    def batches():
+        buf, sz, ids = [], [], []
+        for path in paths:
+            img = Image.open(path)
+            th, tw = ((imsize, imsize) if imsize
+                      else detectron_resize_shape(img.height, img.width))
+            arr = preprocess_image(np.asarray(img.convert("RGB")), (th, tw))
+            pad = np.zeros((*canvas_hw, 3), np.float32)
+            pad[:th, :tw] = arr
+            buf.append(pad)
+            sz.append((th, tw))
+            ids.append(path.stem)
+            if len(buf) == ns.batch_size:
+                yield np.stack(buf), np.asarray(sz, np.int32), ids
+                buf, sz, ids = [], [], []
+        if buf:
+            k = ns.batch_size - len(buf)
+            yield (np.concatenate(
+                [np.stack(buf), np.zeros((k, *canvas_hw, 3), np.float32)]),
+                np.concatenate([np.asarray(sz, np.int32),
+                                np.full((k, 2), 32, np.int32)]), ids)
+
+    Path(ns.out).parent.mkdir(parents=True, exist_ok=True)
+    t0, n = time.time(), 0
+    with h5py.File(ns.out, "w") as f:
+        for images, sizes, ids in batches():
+            feats = np.asarray(
+                extract(params, jnp.asarray(images), jnp.asarray(sizes)),
+                np.float32)
+            G = ns.grid_size
+            for i, img_id in enumerate(ids):
+                g = f.create_group(img_id)
+                g.create_dataset(
+                    "features", data=feats[i].reshape(G, G, -1))
+            n += len(ids)
+    dt = time.time() - t0
+    print(f"wrote {n} features to {ns.out} in {dt:.1f}s "
+          f"({n / max(dt, 1e-9):.1f} img/s)")
 
 
 def iter_image_batches(paths, image_size, batch_size):
@@ -55,6 +151,9 @@ def iter_image_batches(paths, image_size, batch_size):
 
 def main(argv=None):
     ns = parse_args(argv)
+
+    if ns.arch == "maskrcnn":
+        return run_maskrcnn(ns)
 
     import h5py
     import jax

@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--output", default="samples")
     p.add_argument("--sample_steps", type=int, default=4)
     p.add_argument("--sample_mode", choices=["NAR", "AR"], default="NAR")
+    p.add_argument("--save_intermediate", action="store_true",
+                   help="NAR only: also render the grid after every "
+                   "mask-predict step (imggen_model.py:245-248)")
     p.add_argument("--position_strategy", default="confidence",
                    choices=["confidence", "TLBR", "random"])
     p.add_argument("--grid_size", type=int, default=8)
@@ -84,7 +87,8 @@ def main(argv=None):
     print(f"{len(sentences)} sentences")
 
     if ns.sample_mode == "NAR":
-        sampler = make_nar_sampler(model, ns.sample_steps, ns.grid_size)
+        sampler = make_nar_sampler(model, ns.sample_steps, ns.grid_size,
+                                   collect_intermediate=ns.save_intermediate)
     else:
         strategy = ("order" if ns.position_strategy == "random"
                     else ns.position_strategy)
@@ -97,12 +101,14 @@ def main(argv=None):
                         init_W=ns.grid_size, codebook_dim=ns.codebook_dim,
                         dtype=jnp.bfloat16)
         g_ckpt = load_any_checkpoint(ns.generator)
-        g_params, g_sn = split_generator_ckpt(g_ckpt)
+        g_params, g_sn, g_stats = split_generator_ckpt(g_ckpt)
+        g_vars = {"params": g_params, "sn": g_sn}
+        if g_stats:
+            g_vars["batch_stats"] = g_stats
 
         @jax.jit
         def renderer(code):
-            img = gen.apply({"params": g_params, "sn": g_sn}, code,
-                            train=False)
+            img = gen.apply(g_vars, code, train=False)
             return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
 
     out_dir = Path(ns.output)
@@ -127,12 +133,25 @@ def main(argv=None):
             code, cluster_ids, _ = sampler(params, centroids,
                                            jnp.asarray(ids),
                                            jnp.asarray(mask))
+        steps = None
+        if ns.sample_mode == "NAR" and ns.save_intermediate:
+            # collect_intermediate: leading (n_steps,) axis; final = last
+            steps, code = code, code[-1]
+            cluster_ids = cluster_ids[-1]
         dt = time.time() - t0
         print(f"sampled {len(batch_sents)} grids in {dt:.2f}s "
               f"({len(batch_sents)/dt:.1f} samples/s)")
         if renderer is not None:
             imgs = np.asarray(renderer(code).astype(jnp.float32))
             save_pngs(imgs[:len(batch_sents)], batch_sents, out_dir, s)
+            if steps is not None:
+                for t in range(steps.shape[0]):
+                    step_imgs = np.asarray(
+                        renderer(steps[t]).astype(jnp.float32))
+                    step_dir = out_dir / f"step{t}"
+                    step_dir.mkdir(exist_ok=True)
+                    save_pngs(step_imgs[:len(batch_sents)], batch_sents,
+                              step_dir, s)
         else:
             np.save(out_dir / f"codes_{s:04d}.npy",
                     np.asarray(cluster_ids[:len(batch_sents)]))
@@ -140,12 +159,17 @@ def main(argv=None):
 
 
 def split_generator_ckpt(ckpt):
-    """Separate 'sn' (u/v vectors) from params in a converted generator
-    checkpoint tree (torch SN checkpoints carry weight_u/weight_v)."""
+    """Return (params, sn, batch_stats) from either a native generator
+    checkpoint (trainer save format: top-level variable collections) or a
+    converted torch tree (SN u/v inline as weight_u/weight_v)."""
+    if "params" in ckpt and set(ckpt) <= {"params", "sn", "batch_stats"}:
+        return (ckpt.get("params", {}), ckpt.get("sn", {}),
+                ckpt.get("batch_stats", {}))
     from xlxmert_tpu.core.convert import split_variables
 
     cols = split_variables(ckpt)
-    return cols.get("params", {}), cols.get("sn", {})
+    return (cols.get("params", {}), cols.get("sn", {}),
+            cols.get("batch_stats", {}))
 
 
 def save_pngs(imgs, sentences, out_dir: Path, offset: int):
