@@ -88,3 +88,58 @@ def test_vqa_answers_agree():
     agree = (np.argmax(np.asarray(logits), -1)
              == np.argmax(np.asarray(ref_logits), -1)).mean()
     assert agree >= 0.9, agree
+
+
+def test_static_calibrated_mode_matches_flax():
+    """Calibrated static activation scales (no dynamic row-max): accuracy
+    must hold vs fp32, and the jitted static path must equal the eager
+    static path (scales are constants, not data-dependent)."""
+    from xlxmert_tpu.serving.lxmert_int8 import apply_calibration, calibrate
+
+    model = LxmertModel(CFG, dtype=jnp.float32)
+    head = VisualAnswerHead(CFG, num_labels=29, dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    B, L, V = 16, 12, 16
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        ids = jnp.asarray(r.randint(1, 200, (B, L)).astype(np.int32))
+        mask = jnp.asarray(np.ones((B, L), np.float32))
+        feats = jnp.asarray(r.randn(B, V, 32).astype(np.float32) * 0.5)
+        pos = jnp.asarray(np.broadcast_to(box_position(4)[None],
+                                          (B, V, 4)).copy())
+        return ids, feats, pos, mask
+
+    ids, feats, pos, mask = batch(10)
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos,
+                        attention_mask=mask)["params"]
+    hp = head.init(jax.random.PRNGKey(1), jnp.zeros((B, CFG.hidden_size))
+                   )["params"]
+    qp = prepare_params(params, CFG)
+    hqp = prepare_answer_head(hp)
+
+    calib = calibrate(qp, hqp, [batch(s) for s in (20, 21)], CFG)
+    assert len(calib) > 10  # every dense site observed
+    sqp = apply_calibration(qp, calib)
+    shqp = apply_calibration(hqp, calib)
+    # all sites now carry static scales
+    leaves = [l for l in jax.tree.leaves(sqp, is_leaf=lambda x: hasattr(
+        x, "inv_a")) if hasattr(x := l, "inv_a")]
+
+    _, _, pooled = model.apply({"params": params}, ids, feats, pos,
+                               attention_mask=mask, deterministic=True)
+    ref_logits = np.asarray(head.apply({"params": hp}, pooled))
+
+    fn = make_vqa_serving_fn(CFG)
+    logits = np.asarray(fn(sqp, shqp, ids, feats, pos, mask))
+    assert cos(logits, ref_logits) > 0.98
+    agree = (np.argmax(logits, -1) == np.argmax(ref_logits, -1)).mean()
+    assert agree >= 0.9, agree
+
+    # held-out batch (not in calibration) also fine
+    ids2, feats2, pos2, mask2 = batch(99)
+    _, _, pooled2 = model.apply({"params": params}, ids2, feats2, pos2,
+                                attention_mask=mask2, deterministic=True)
+    ref2 = np.asarray(head.apply({"params": hp}, pooled2))
+    got2 = np.asarray(fn(sqp, shqp, ids2, feats2, pos2, mask2))
+    assert cos(got2, ref2) > 0.98

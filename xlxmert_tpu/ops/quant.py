@@ -24,6 +24,12 @@ class QuantWeight(NamedTuple):
     w_i8: jnp.ndarray  # (K, N) int8
     scale: jnp.ndarray  # (N,) fp32 per-output-channel
     bias: Optional[jnp.ndarray]  # (N,) fp32 or None
+    # static-activation-scale mode (calibrated): set by apply_calibration.
+    # inv_a = 1/a_scale (scalar), out_scale = a_scale * scale (N,) — the
+    # dequant collapses to one fused multiply, and the quant to one
+    # multiply+round that XLA fuses into the producing op's epilogue.
+    inv_a: Optional[jnp.ndarray] = None
+    out_scale: Optional[jnp.ndarray] = None
 
 
 def quantize_weight(w: np.ndarray, bias: Optional[np.ndarray] = None,
@@ -66,3 +72,27 @@ def int8_dense(x: jnp.ndarray, qw: QuantWeight,
     int8_matmul when several weights share x)."""
     x_i8, s_x = quantize_rows(x)
     return int8_matmul(x_i8, s_x, qw, out_dtype)
+
+
+def with_activation_scale(qw: QuantWeight, a_max: float) -> QuantWeight:
+    """Attach a calibrated static activation scale (per-tensor symmetric)
+    to a weight: enables the static int8 path (no dynamic row-max pass)."""
+    a_scale = max(float(a_max), 1e-8) / 127.0
+    return qw._replace(
+        inv_a=jnp.float32(1.0 / a_scale),
+        out_scale=jnp.asarray(np.asarray(qw.scale) * a_scale))
+
+
+def int8_dense_static(x: jnp.ndarray, qw: QuantWeight,
+                      out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Static-scale int8 dense: quant is a fused multiply+round (no
+    reduction), dequant one multiply in the matmul epilogue."""
+    x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) * qw.inv_a),
+                    -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_i8, qw.w_i8, (((x_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * qw.out_scale
+    if qw.bias is not None:
+        out = out + qw.bias
+    return out.astype(out_dtype)

@@ -17,16 +17,20 @@ tests/test_int8_serving.py pins agreement with the fp32 flax model
 (logit cosine + answer agreement).
 
 MEASURED on TPU v5e (B=256, full 9/5/5 model, VQA forward):
-  bf16 serving (models/lxmert.py serving_mode)   8547 q/s  <- default
-  int8, XLA-level quant/matmul (this engine)     7961 q/s
-  int8, fused Pallas kernel (N,M blocked)        5659 q/s
-  int8, fused Pallas kernel (N unblocked)        6684 q/s
-The pure int8 MXU rate is 2.5x bf16 (287 vs 113 TOP/s microbenched), but
-at K=768 the per-activation quant/dequant traffic eats the gain; fusing
-it into Pallas tiles trades HBM traffic for redundant VPU quantization
-and pipeline-maturity losses vs XLA's matmul. Kept as a correctness-
-tested capability; making int8 win needs whole-block fusion (quantize
-once per layer input, chain matmuls in VMEM) — future-round work.
+  int8, STATIC calibrated activation scales     9959 q/s  <- round-2 win
+  bf16 serving (models/lxmert.py serving_mode)  8522 q/s
+  int8, dynamic per-row scales (this engine)    8050 q/s
+  int8, fused Pallas kernel (N,M blocked)       5659 q/s
+  int8, fused Pallas kernel (N unblocked)       6684 q/s
+The pure int8 MXU rate is 2.5x bf16 (287 vs 113 TOP/s microbenched).
+Dynamic per-row quantization erases that gain at K=768 — the row-max
+reduction + extra activation pass costs more than the matmul saves.
+Round 2's fix: CALIBRATED STATIC per-tensor activation scales
+(calibrate/apply_calibration below): the quant becomes one fused
+multiply+round in the producing op's epilogue and the dequant one
+multiply in the matmul epilogue — no reduction, no extra pass — giving
++17% over bf16 end to end. Remaining gap to the int8 roofline is the
+bf16 attention cores/softmax/LN (non-dense time now dominates).
 """
 from __future__ import annotations
 
@@ -221,13 +225,63 @@ def _cross_attention(x, ctx_x, p, ctx_bias, n_heads,
     return layer_norm(out + x, p["ln"])
 
 
+# calibration collector: eager-mode forwards record per-site |x| maxima
+# keyed by the QuantWeight's identity (see calibrate/apply_calibration)
+_CALIB: Dict[int, float] = None
+
+
 def int8_dense_shared(x, qw):
+    if _CALIB is not None:  # calibration pass (eager)
+        _CALIB[id(qw.w_i8)] = max(
+            _CALIB.get(id(qw.w_i8), 0.0),
+            float(jnp.abs(x.astype(jnp.float32)).max()))
+    if qw.inv_a is not None:  # static calibrated scale: no row-max pass
+        from xlxmert_tpu.ops.quant import int8_dense_static
+
+        return int8_dense_static(x, qw)
     if USE_FUSED_KERNEL:
         from xlxmert_tpu.ops.int8_matmul import qw_dense
 
         return qw_dense(x, qw)
     x_i8, s_x = quantize_rows(x)
     return int8_matmul(x_i8, s_x, qw)
+
+
+def calibrate(qp: Dict, head_qp: Dict, batches, cfg: LxmertConfig) -> Dict:
+    """Record per-site activation maxima over calibration batches.
+
+    batches: iterable of (ids, feats, pos, mask). Runs eagerly (one-time
+    host-driven pass). Returns {id(w_i8): amax}."""
+    global _CALIB
+    _CALIB = {}
+    try:
+        for ids, feats, pos, mask in batches:
+            _, _, pooled = lxmert_forward(
+                qp, ids, feats, pos, attention_mask=mask,
+                n_heads=cfg.num_attention_heads)
+            answer_head_forward(head_qp, pooled)
+        return dict(_CALIB)
+    finally:
+        _CALIB = None
+
+
+def apply_calibration(tree, calib: Dict[int, float]):
+    """Rebuild every calibrated QuantWeight in `tree` with its static
+    activation scale (ops/quant.with_activation_scale)."""
+    from xlxmert_tpu.ops.quant import with_activation_scale
+
+    def walk(node):
+        if isinstance(node, QuantWeight):
+            amax = calib.get(id(node.w_i8))
+            return (with_activation_scale(node, amax)
+                    if amax is not None else node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(tree)
 
 
 def _ffn_apply(x, p):
