@@ -1,21 +1,33 @@
-"""Headline benchmark: batched VQA inference throughput (queries/sec/chip).
+"""Headline benchmark. Prints ONE JSON line with both BASELINE.json
+throughput targets plus roofline context:
 
-Matches BASELINE.json config #1 (VQA inference from pre-extracted 8x8 grid
-features). Runs on the real TPU chip via the default platform.
+  {"metric": "vqa_queries_per_sec_per_chip", "value": ..., "unit": ...,
+   "vs_baseline": ...,
+   "extra": {"serving_path", "model_tflops", "mfu_vs_int8_peak",
+             "sampling_samples_per_sec", "sampling_vs_baseline",
+             "bf16_queries_per_sec"}}
 
-Measurement method: the axon tunnel makes `block_until_ready` unreliable
-(dispatch returns early), so we chain K forwards inside a single jitted
-`lax.scan` over K distinct input batches with a data-dependent carry, fetch
-one scalar to the host, and difference two K values to cancel the constant
+Config #1 (primary): batched VQA inference from pre-extracted 8x8 grid
+features — served through the static-calibrated int8 engine
+(serving/lxmert_int8.py; measured 9959 q/s vs 8522 bf16 on this chip).
+Config #2: text-to-image sampling (NAR mask-predict 4 steps + 256px
+SPADE render, scripts/sample_images.sh semantics).
+
+Measurement method: the axon tunnel makes `block_until_ready`
+unreliable (dispatch returns early), so each config chains K dependent
+iterations inside one jitted `lax.scan` with a data-dependent carry,
+fetches one scalar, and differences two K values to cancel the constant
 tunnel/dispatch overhead.
 
-Baseline: the reference publishes no numbers (BASELINE.md); the A100 anchor
-below is the estimated throughput of the reference PyTorch stack (eager
-fp16 LXMERT-base VQA forward, ~15 GFLOP/sample at 15-25% utilization on a
-312-TFLOP/s A100 => ~3-5k q/s). We use 4000 q/s; vs_baseline = ours/4000.
-The north-star target is vs_baseline >= 5.0.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines: the reference publishes no numbers (BASELINE.md). Anchors are
+estimates of the reference PyTorch stack on A100 (eager fp16):
+  - VQA: ~19.4 GFLOP/sample at 15-25% of 312 TFLOP/s => 3-5k q/s;
+    we use 4000. North star: vs_baseline >= 5.
+  - sampling: ~90 GFLOP/sample (4 full forwards + obj head + GAN render)
+    with a 4-step host-driven loop => ~100-200 samples/s; we use 150.
+MFU context is derived from an analytic FLOP count (flops_per_sample)
+against the v5e int8 peak (394 TOP/s) so progress is also judged
+against silicon, not only the estimated anchor.
 """
 import json
 import sys
@@ -24,50 +36,102 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import numpy as np
+
 A100_BASELINE_QPS = 4000.0
+A100_BASELINE_SAMPLES_PER_SEC = 150.0
+V5E_INT8_PEAK_TOPS = 394e12
 
 
-def main():
+def flops_per_sample(cfg, L=20, V=64, n_answers=3129):
+    """Analytic matmul FLOPs of one VQA forward (2*M*K*N per dense)."""
+    H, I = cfg.hidden_size, cfg.intermediate_size
+
+    def dense(m, k, n):
+        return 2 * m * k * n
+
+    def self_att(T):
+        qkv = 3 * dense(T, H, H)
+        core = 2 * dense(T, T, H)  # scores + context
+        return qkv + core + dense(T, H, H)
+
+    def ffn(T):
+        return dense(T, H, I) + dense(T, I, H)
+
+    total = dense(V, cfg.visual_feat_dim, H) + dense(V, 4, H)
+    total += cfg.l_layers * (self_att(L) + ffn(L))
+    total += cfg.r_layers * (self_att(V) + ffn(V))
+    for _ in range(cfg.x_layers):
+        # shared cross-attn both directions: q+kv+out per side + cores
+        total += 2 * dense(L, H, H) + 2 * dense(V, H, H)  # kv each side
+        total += dense(L, H, H) + dense(V, H, H)          # queries
+        total += 2 * (2 * dense(L, V, H))                  # cores both dirs
+        total += dense(L, H, H) + dense(V, H, H)          # out projs
+        total += self_att(L) + self_att(V) + ffn(L) + ffn(V)
+    total += dense(1, H, H)                                # pooler
+    total += dense(1, H, 2 * H) + dense(1, 2 * H, n_answers)  # answer head
+    return total
+
+
+def measure_vqa(cfg):
     import jax
     import jax.numpy as jnp
 
-    from xlxmert_tpu.core.config import LxmertConfig
-    from xlxmert_tpu.models.lxmert import LxmertModel, VisualAnswerHead
+    from xlxmert_tpu.models.lxmert import (LxmertModel, VisualAnswerHead,
+                                           serving_mode)
+    from xlxmert_tpu.serving import lxmert_int8 as engine
     from xlxmert_tpu.utils.boxes import box_position
 
-    from xlxmert_tpu.models.lxmert import serving_mode
-
-    serving_mode(True)  # bf16 softmax + tanh gelu (xla attention — measured
-    # faster than the pallas kernel at these shapes, see ops/attention.py)
-
-    cfg = LxmertConfig()
+    serving_mode(True)
     B, L, V = 256, 20, 64
     K_SMALL, K_BIG = 4, 36
 
     model = LxmertModel(cfg, dtype=jnp.bfloat16)
     head = VisualAnswerHead(cfg, num_labels=3129, dtype=jnp.bfloat16)
-
     rng = jax.random.PRNGKey(0)
     ids = jnp.ones((B, L), jnp.int32)
     mask = jnp.ones((B, L), jnp.float32)
-    feats1 = jax.random.normal(rng, (B, V, cfg.visual_feat_dim),
-                               jnp.bfloat16) * 0.1
+    feats = jax.random.normal(rng, (B, V, cfg.visual_feat_dim),
+                              jnp.bfloat16) * 0.1
     pos = jnp.broadcast_to(jnp.asarray(box_position(8))[None],
                            (B, V, 4)).astype(jnp.bfloat16)
     params = jax.jit(lambda r: model.init(
-        r, ids, feats1, pos, attention_mask=mask)["params"])(rng)
+        r, ids, feats, pos, attention_mask=mask)["params"])(rng)
     head_params = head.init(rng, jnp.zeros((B, cfg.hidden_size)))["params"]
-    # Serve weights in bf16: halves HBM traffic for the bandwidth-bound parts.
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    head_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), head_params)
+
+    # int8 static path: quantize + one-batch jitted calibration
+    qp = engine.prepare_params(jax.tree.map(np.asarray, params), cfg)
+    hqp = engine.prepare_answer_head(
+        jax.tree.map(np.asarray, head_params))
+    Bc = 8
+    calib = engine.calibrate(
+        qp, hqp,
+        [(ids[:Bc], feats[:Bc].astype(jnp.float32), pos[:Bc], mask[:Bc])],
+        cfg)
+    sqp = engine.apply_calibration(qp, calib)
+    shqp = engine.apply_calibration(hqp, calib)
 
     # NB: all arrays are explicit jit arguments — closure-captured device
     # arrays are embedded into the HLO, and the axon tunnel's
     # /remote_compile POST rejects >~100MB bodies (HTTP 413).
     @jax.jit
-    def run(params, head_params, ids, pos, mask, stacked, seed):
+    def run_int8(sqp, shqp, ids, pos, mask, stacked, seed):
         def body(carry, f):
-            # data-dependent perturbation defeats CSE across iterations
+            _, _, pooled = engine.lxmert_forward(
+                sqp, ids, f + carry * 1e-6, pos, attention_mask=mask,
+                n_heads=cfg.num_attention_heads)
+            logits = engine.answer_head_forward(shqp, pooled)
+            return carry + logits.mean().astype(jnp.bfloat16), ()
+
+        c, _ = jax.lax.scan(body, seed, stacked)
+        return c
+
+    bf16_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    bf16_head = jax.tree.map(lambda x: x.astype(jnp.bfloat16), head_params)
+
+    @jax.jit
+    def run_bf16(params, head_params, ids, pos, mask, stacked, seed):
+        def body(carry, f):
             _, _, pooled = model.apply(
                 {"params": params}, ids, f + carry * 1e-6, pos,
                 attention_mask=mask, deterministic=True)
@@ -83,29 +147,116 @@ def main():
             jnp.bfloat16) * 0.1,
         static_argnums=0)
 
-    def timed(k, reps=3):
-        stacked = make_stack(k)
-        float(run(params, head_params, ids, pos, mask, stacked,
-                  jnp.bfloat16(0.0)))  # compile+warm
+    def timed(run, args, reps=3):
+        def t(k):
+            stacked = make_stack(k)
+            float(run(*args, stacked, jnp.bfloat16(0.0)))  # compile+warm
+            best = float("inf")
+            for r in range(reps):
+                t0 = time.time()
+                float(run(*args, stacked, jnp.bfloat16(r)))
+                best = min(best, time.time() - t0)
+            return best
+
+        per_batch = (t(K_BIG) - t(K_SMALL)) / (K_BIG - K_SMALL)
+        return B / per_batch
+
+    qps_int8 = timed(run_int8, (sqp, shqp, ids, pos, mask))
+    qps_bf16 = timed(run_bf16, (bf16_params, bf16_head, ids, pos, mask))
+    path = "int8_static"
+    qps = qps_int8
+    if qps_bf16 > qps_int8:  # safety: never report a regression path
+        qps, path = qps_bf16, "bf16"
+    return qps, qps_bf16, path
+
+
+def measure_sampling(cfg):
+    """NAR mask-predict (4 steps, 8x8 grid, 10k codes) + 256px SPADE
+    render, matching scripts/sample_images.sh."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.models.gan import Generator
+    from xlxmert_tpu.models.xlxmert import XLxmert
+    from xlxmert_tpu.tasks.sampling import make_nar_sampler
+
+    B, L = 64, 20
+    N_STEPS, GRID, N_CODES = 4, 8, 10000
+    K_SMALL, K_BIG = 1, 5
+
+    model = XLxmert(cfg, dtype=jnp.bfloat16)
+    gen = Generator(emb_dim=cfg.visual_feat_dim, base_dim=32,
+                    target_size=256, init_H=GRID, init_W=GRID,
+                    codebook_dim=256, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.ones((B, L), jnp.int32)
+    mask = jnp.ones((B, L), jnp.float32)
+    centroids = (jax.random.normal(
+        rng, (N_CODES, cfg.visual_feat_dim), jnp.float32) * 0.1)
+
+    params = jax.jit(lambda r: model.init(
+        r, ids, jnp.zeros((B, GRID * GRID, cfg.visual_feat_dim)),
+        jnp.zeros((B, GRID * GRID, 4)), attention_mask=mask,
+        centroids=centroids, heads=("obj",))["params"])(rng)
+    g_vars = jax.jit(lambda r: gen.init(
+        {"params": r, "noise": r},
+        jnp.zeros((B, GRID, GRID, cfg.visual_feat_dim)), train=False))(rng)
+
+    sampler = make_nar_sampler(model, N_STEPS, GRID)
+
+    @jax.jit
+    def run(params, centroids, g_params, g_sn, ids, mask, ks, seed):
+        def body(carry, _):
+            code, _, _ = sampler(params, centroids + carry * 1e-6, ids,
+                                 mask)
+            img = gen.apply({"params": g_params, "sn": g_sn}, code,
+                            train=False)
+            return carry + img.mean().astype(jnp.float32), ()
+
+        c, _ = jax.lax.scan(body, seed, ks)
+        return c
+
+    g_params, g_sn = g_vars["params"], g_vars.get("sn", {})
+
+    def t(k, reps=2):
+        ks = jnp.zeros((k, 1))
+        float(run(params, centroids, g_params, g_sn, ids, mask, ks,
+                  jnp.float32(0.0)))
         best = float("inf")
         for r in range(reps):
             t0 = time.time()
-            # host fetch forces completion
-            float(run(params, head_params, ids, pos, mask, stacked,
-                      jnp.bfloat16(r)))
+            float(run(params, centroids, g_params, g_sn, ids, mask, ks,
+                      jnp.float32(r)))
             best = min(best, time.time() - t0)
         return best
 
-    t_small = timed(K_SMALL)
-    t_big = timed(K_BIG)
-    per_batch = (t_big - t_small) / (K_BIG - K_SMALL)
-    qps = B / per_batch
+    per_iter = (t(K_BIG) - t(K_SMALL)) / (K_BIG - K_SMALL)
+    return B / per_iter
 
+
+def main():
+    from xlxmert_tpu.core.config import LxmertConfig
+
+    cfg = LxmertConfig()
+    qps, qps_bf16, path = measure_vqa(cfg)
+    samples_per_sec = measure_sampling(cfg)
+
+    fps = flops_per_sample(cfg)
+    tflops = qps * fps / 1e12
     print(json.dumps({
         "metric": "vqa_queries_per_sec_per_chip",
         "value": round(qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(qps / A100_BASELINE_QPS, 3),
+        "extra": {
+            "serving_path": path,
+            "bf16_queries_per_sec": round(qps_bf16, 1),
+            "model_tflops": round(tflops, 1),
+            "mfu_vs_int8_peak": round(qps * fps / V5E_INT8_PEAK_TOPS, 3),
+            "sampling_samples_per_sec": round(samples_per_sec, 1),
+            "sampling_vs_baseline": round(
+                samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3),
+        },
     }))
 
 

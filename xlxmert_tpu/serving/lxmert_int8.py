@@ -225,16 +225,24 @@ def _cross_attention(x, ctx_x, p, ctx_bias, n_heads,
     return layer_norm(out + x, p["ln"])
 
 
-# calibration collector: eager-mode forwards record per-site |x| maxima
-# keyed by the QuantWeight's identity (see calibrate/apply_calibration)
-_CALIB: Dict[int, float] = None
+# Calibration collectors. Two trace-time passes with the SAME code path:
+#   1) _CALIB_ORDER: a jax.eval_shape pass that CLOSES OVER the real qp
+#      (no compile, no device work) records each site's real
+#      id(qw.w_i8) in call order — inside jit the leaves are tracers,
+#      whose ids are meaningless, so order is the only stable key.
+#   2) _CALIB_LIST: one jitted pass per batch appends each site's |x|
+#      max (a tracer) in the same call order and returns them as program
+#      outputs — the whole calibration is a single device program (the
+#      eager version cost ~116s through the remote-compile tunnel).
+_CALIB_ORDER: list = None
+_CALIB_LIST: list = None
 
 
 def int8_dense_shared(x, qw):
-    if _CALIB is not None:  # calibration pass (eager)
-        _CALIB[id(qw.w_i8)] = max(
-            _CALIB.get(id(qw.w_i8), 0.0),
-            float(jnp.abs(x.astype(jnp.float32)).max()))
+    if _CALIB_ORDER is not None:  # site-order pass (eval_shape, real ids)
+        _CALIB_ORDER.append(id(qw.w_i8))
+    if _CALIB_LIST is not None:  # maxima pass (jit trace)
+        _CALIB_LIST.append(jnp.abs(x.astype(jnp.float32)).max())
     if qw.inv_a is not None:  # static calibrated scale: no row-max pass
         from xlxmert_tpu.ops.quant import int8_dense_static
 
@@ -250,19 +258,45 @@ def int8_dense_shared(x, qw):
 def calibrate(qp: Dict, head_qp: Dict, batches, cfg: LxmertConfig) -> Dict:
     """Record per-site activation maxima over calibration batches.
 
-    batches: iterable of (ids, feats, pos, mask). Runs eagerly (one-time
-    host-driven pass). Returns {id(w_i8): amax}."""
-    global _CALIB
-    _CALIB = {}
+    batches: iterable of (ids, feats, pos, mask).
+    Returns {id(w_i8): amax} keyed by the REAL arrays in qp/head_qp."""
+    global _CALIB_ORDER, _CALIB_LIST
+
+    def forward(qp_, hqp_, ids, feats, pos, mask):
+        _, _, pooled = lxmert_forward(
+            qp_, ids, feats, pos, attention_mask=mask,
+            n_heads=cfg.num_attention_heads)
+        answer_head_forward(hqp_, pooled)
+
+    # pass 1: site order with real identities (abstract, free)
+    ids0, feats0, pos0, mask0 = batches[0] if isinstance(batches, (list, tuple)) \
+        else next(iter(batches))
+    _CALIB_ORDER = []
     try:
-        for ids, feats, pos, mask in batches:
-            _, _, pooled = lxmert_forward(
-                qp, ids, feats, pos, attention_mask=mask,
-                n_heads=cfg.num_attention_heads)
-            answer_head_forward(head_qp, pooled)
-        return dict(_CALIB)
+        jax.eval_shape(lambda i, f, p, m: forward(qp, head_qp, i, f, p, m),
+                       ids0, feats0, pos0, mask0)
+        order = list(_CALIB_ORDER)
     finally:
-        _CALIB = None
+        _CALIB_ORDER = None
+
+    # pass 2: jitted maxima in the same call order
+    def traced(qp_, hqp_, ids, feats, pos, mask):
+        global _CALIB_LIST
+        _CALIB_LIST = []
+        try:
+            forward(qp_, hqp_, ids, feats, pos, mask)
+            return tuple(_CALIB_LIST)
+        finally:
+            _CALIB_LIST = None
+
+    out: Dict[int, float] = {}
+    fn = jax.jit(traced)
+    for batch in batches:
+        maxes = fn(qp, head_qp, *batch)
+        assert len(maxes) == len(order), (len(maxes), len(order))
+        for k, v in zip(order, maxes):
+            out[k] = max(out.get(k, 0.0), float(np.asarray(v)))
+    return out
 
 
 def apply_calibration(tree, calib: Dict[int, float]):
