@@ -178,6 +178,19 @@ class PretrainEngine:
 
     def create_state(self, rng) -> TrainState:
         params = self.init_params(rng)
+        if self.mesh.shape.get("model", 1) > 1:
+            # dp x tp: Megatron-style column/row param shardings over the
+            # "model" axis (parallel/sharding.py); the optimizer state
+            # inherits each param's sharding through tx.init, and GSPMD
+            # inserts the TP collectives inside the jitted step.
+            from xlxmert_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, self.mesh)
+            state = TrainState.create(params, self.tx)
+            from xlxmert_tpu.parallel.mesh import replicated
+
+            return state.replace(
+                step=jax.device_put(state.step, replicated(self.mesh)))
         state = TrainState.create(params, self.tx)
         return jax.tree.map(
             lambda x: x, replicate(state, self.mesh))
