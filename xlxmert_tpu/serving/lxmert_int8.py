@@ -29,8 +29,18 @@ Round 2's fix: CALIBRATED STATIC per-tensor activation scales
 (calibrate/apply_calibration below): the quant becomes one fused
 multiply+round in the producing op's epilogue and the dequant one
 multiply in the matmul epilogue — no reduction, no extra pass — giving
-+17% over bf16 end to end. Remaining gap to the int8 roofline is the
-bf16 attention cores/softmax/LN (non-dense time now dominates).
++14-17% over bf16 end to end (9.6-10.0k q/s across runs).
+
+Ablations of the remaining ~102us/sample (dense roofline at the
+measured 287 TOP/s int8 rate would be ~68us):
+  LayerNorms cost ~9us (fp32-stat LN is optimal: bf16-stat LN measured
+  SLOWER, 9610 vs 9819); softmax costs ~13us but neither removing the
+  max-shift (9733 ~= 9789) nor the fused Pallas attention core (8825,
+  VMEM-limited to batch-block 8 at the 64-token sites) recovers it —
+  XLA's fusion already handles these well. The remaining lever is a
+  whole-layer Pallas kernel with activations resident in VMEM; all five
+  Pallas-vs-XLA comparisons measured so far lost, so expect XLA's
+  matmul pipelines to be hard to beat on this toolchain.
 """
 from __future__ import annotations
 
