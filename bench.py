@@ -83,7 +83,11 @@ def measure_vqa(cfg):
     from xlxmert_tpu.utils.boxes import box_position
 
     serving_mode(True)
-    B, L, V = 256, 20, 64
+    # B=512 measured fastest for the static int8 path on v5e
+    # (10489 q/s vs 9776 at B=256 and 7776 at B=1024 — scripts/
+    # drive_fused.py sweep, round 2); the whole-block fused Pallas path
+    # measured slower at every block size (ops/fused_block.py docstring).
+    B, L, V = 512, 20, 64
     K_SMALL, K_BIG = 4, 36
 
     model = LxmertModel(cfg, dtype=jnp.bfloat16)

@@ -37,10 +37,13 @@ measured 287 TOP/s int8 rate would be ~68us):
   SLOWER, 9610 vs 9819); softmax costs ~13us but neither removing the
   max-shift (9733 ~= 9789) nor the fused Pallas attention core (8825,
   VMEM-limited to batch-block 8 at the 64-token sites) recovers it —
-  XLA's fusion already handles these well. The remaining lever is a
-  whole-layer Pallas kernel with activations resident in VMEM; all five
-  Pallas-vs-XLA comparisons measured so far lost, so expect XLA's
-  matmul pipelines to be hard to beat on this toolchain.
+  XLA's fusion already handles these well. The remaining lever — a
+  whole-block Pallas kernel chaining out-proj+LN+FFN+LN+QKV with
+  VMEM-resident int8 activations and weights — was built and measured
+  in round 2 (ops/fused_block.py, serving/lxmert_fused.py): 8176 q/s
+  vs 9776 static, the sixth and most structurally favorable
+  Pallas-vs-XLA comparison, still a 20% loss. Ceiling conclusion in
+  ops/fused_block.py's docstring.
 """
 from __future__ import annotations
 
