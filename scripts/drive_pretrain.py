@@ -15,6 +15,9 @@ parser.add_argument("--batch", type=int, default=32)
 parser.add_argument("--steps", type=int, default=6)
 parser.add_argument("--tiny", action="store_true")
 parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--chain", type=int, default=0,
+                    help="also measure K chained steps per task in one "
+                    "jit (true device rate; cancels tunnel round-trip)")
 args = parser.parse_args()
 
 import jax
@@ -76,4 +79,21 @@ for i in range(args.steps):
           f"({time.time()-t0:.1f}s)")
 
 print("final step count:", int(np.asarray(state.step)))
+
+if args.chain:
+    K = args.chain
+    for task in cfg.mask_modalities:
+        fn = eng.chained_train_step(task, K)
+        state, loss = fn(state, batch, rng, centroids)  # compile+warm
+        float(np.asarray(loss))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            state, loss = fn(state, batch, rng, centroids)
+            float(np.asarray(loss))
+            best = min(best, time.time() - t0)
+        per_step = best / K
+        print(f"chained x{K} task={task:<9} {per_step*1e3:7.1f} ms/step "
+              f"{cfg.batch_size/per_step:8.1f} ex/s/chip")
+
 print("OK")

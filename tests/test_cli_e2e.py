@@ -273,3 +273,24 @@ def test_step7_pretrain_resume(world):
           "--load", str(world / "snap_pretrain" / "Epoch01_LXRT.msgpack")])
     # started at epoch 1, ran one more epoch -> Epoch02 written
     assert (world / "snap_resume" / "Epoch02_LXRT.msgpack").exists()
+
+
+def test_step5c_sample_images_int8(world):
+    """--int8: NAR decode loop through the static int8 serving engine."""
+    from xlxmert_tpu.cli.sample_images import main
+
+    cpath = (world / "cluster_centroids" /
+             "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
+    main(["--load", str(world / "snap_pretrain" / "Epoch01_LXRT.msgpack"),
+          "--centroids", str(cpath),
+          "--vocab", str(world / "vocab.txt"),
+          "--sentences", str(world / "sentences.txt"),
+          "--model_config", str(world / "model.yaml"),
+          "--grid_size", str(GRID), "--sample_steps", "2",
+          "--batch_size", "2", "--int8",
+          "--output", str(world / "samples_int8")])
+    codes = sorted((world / "samples_int8").glob("codes_*.npy"))
+    assert codes, "no code grids written"
+    arr = np.load(codes[0])
+    assert arr.shape == (2, GRID * GRID)
+    assert (arr >= 0).all() and (arr < 10).all()

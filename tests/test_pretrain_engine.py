@@ -141,3 +141,31 @@ def test_non_clustering_with_feat_obj_attr_losses():
                                           jax.random.PRNGKey(1), centroids)
     for k in ("obj_loss", "attr_loss", "feat_loss", "total_loss"):
         assert np.isfinite(float(m[k])), k
+
+
+def test_chained_steps_match_sequential():
+    """k chained scan steps == k sequential train_step calls exactly."""
+    eng = make_engine()
+    centroids = jnp.asarray(
+        np.random.RandomState(1).randn(24, 16).astype(np.float32))
+    batch = eng.place(make_batch(eng.cfg))
+    rng = jax.random.PRNGKey(7)
+
+    state_a = eng.create_state(jax.random.PRNGKey(0))
+    losses = []
+    for _ in range(3):
+        state_a, m = eng.train_step("word_mask")(state_a, batch, rng,
+                                                 centroids)
+        losses.append(float(m["total_loss"]))
+
+    state_b = eng.create_state(jax.random.PRNGKey(0))
+    state_b, mean_loss = eng.chained_train_step("word_mask", 3)(
+        state_b, batch, rng, centroids)
+
+    assert int(np.asarray(state_b.step)) == 3
+    np.testing.assert_allclose(float(mean_loss), np.mean(losses),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

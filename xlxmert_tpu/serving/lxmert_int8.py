@@ -268,36 +268,30 @@ def int8_dense_shared(x, qw):
     return int8_matmul(x_i8, s_x, qw)
 
 
-def calibrate(qp: Dict, head_qp: Dict, batches, cfg: LxmertConfig) -> Dict:
-    """Record per-site activation maxima over calibration batches.
+def calibrate_forward(forward, trees, batches) -> Dict[int, float]:
+    """Record per-site activation maxima for an arbitrary forward.
 
-    batches: iterable of (ids, feats, pos, mask).
-    Returns {id(w_i8): amax} keyed by the REAL arrays in qp/head_qp."""
+    forward(*trees, *batch) must route every quantized dense through
+    int8_dense_shared. Returns {id(w_i8): amax} keyed by the REAL arrays
+    in `trees` (pass the same trees to apply_calibration)."""
     global _CALIB_ORDER, _CALIB_LIST
 
-    def forward(qp_, hqp_, ids, feats, pos, mask):
-        _, _, pooled = lxmert_forward(
-            qp_, ids, feats, pos, attention_mask=mask,
-            n_heads=cfg.num_attention_heads)
-        answer_head_forward(hqp_, pooled)
-
+    batches = list(batches)
+    batch0 = batches[0]
     # pass 1: site order with real identities (abstract, free)
-    ids0, feats0, pos0, mask0 = batches[0] if isinstance(batches, (list, tuple)) \
-        else next(iter(batches))
     _CALIB_ORDER = []
     try:
-        jax.eval_shape(lambda i, f, p, m: forward(qp, head_qp, i, f, p, m),
-                       ids0, feats0, pos0, mask0)
+        jax.eval_shape(lambda *b: forward(*trees, *b), *batch0)
         order = list(_CALIB_ORDER)
     finally:
         _CALIB_ORDER = None
 
     # pass 2: jitted maxima in the same call order
-    def traced(qp_, hqp_, ids, feats, pos, mask):
+    def traced(trees_, *batch):
         global _CALIB_LIST
         _CALIB_LIST = []
         try:
-            forward(qp_, hqp_, ids, feats, pos, mask)
+            forward(*trees_, *batch)
             return tuple(_CALIB_LIST)
         finally:
             _CALIB_LIST = None
@@ -305,11 +299,26 @@ def calibrate(qp: Dict, head_qp: Dict, batches, cfg: LxmertConfig) -> Dict:
     out: Dict[int, float] = {}
     fn = jax.jit(traced)
     for batch in batches:
-        maxes = fn(qp, head_qp, *batch)
+        maxes = fn(tuple(trees), *batch)
         assert len(maxes) == len(order), (len(maxes), len(order))
         for k, v in zip(order, maxes):
             out[k] = max(out.get(k, 0.0), float(np.asarray(v)))
     return out
+
+
+def calibrate(qp: Dict, head_qp: Dict, batches, cfg: LxmertConfig) -> Dict:
+    """Record per-site activation maxima over VQA-forward batches.
+
+    batches: iterable of (ids, feats, pos, mask).
+    Returns {id(w_i8): amax} keyed by the REAL arrays in qp/head_qp."""
+
+    def forward(qp_, hqp_, ids, feats, pos, mask):
+        _, _, pooled = lxmert_forward(
+            qp_, ids, feats, pos, attention_mask=mask,
+            n_heads=cfg.num_attention_heads)
+        answer_head_forward(hqp_, pooled)
+
+    return calibrate_forward(forward, (qp, head_qp), batches)
 
 
 def apply_calibration(tree, calib: Dict[int, float]):

@@ -1,0 +1,161 @@
+"""Int8 text-to-image sampling: NAR mask-predict through the
+static-calibrated int8 engine.
+
+The NAR decode loop (reference x-lxmert/src/tasks/imggen_model.py
+:169-257, TPU-native transcription in tasks/sampling.py) spends ~all of
+its encoder time in the same LXMERT forward the VQA engine serves — so
+it gets the same treatment: every dense matmul int8 with static
+calibrated activation scales (serving/lxmert_int8.py), including the
+visual-cluster head's transform -> linear_feat -> (2048 x 10000)
+centroid logits matmul.
+
+Semantics match tasks/sampling.make_nar_sampler exactly, with one
+serving-mode refinement: cells are re-mask-ranked by per-cell max
+LOG-probability (max logit - logsumexp) instead of materializing the
+full (B, 64, 10000) softmax — the ranking is identical (monotone map),
+the returned per-cell probability is exp(logp) as before.
+
+Calibration: `sampling_calibration_batches` builds code grids at the
+mask ratios the decode loop actually visits (step 0 = all mask_feat,
+later steps mostly committed centroids), so the static scales cover the
+whole trajectory.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xlxmert_tpu.core.config import LxmertConfig
+from xlxmert_tpu.ops.quant import quantize_weight
+from xlxmert_tpu.serving.lxmert_int8 import (
+    _ln, _qw, calibrate_forward, int8_dense_shared, layer_norm,
+    lxmert_forward, prepare_params,
+)
+from xlxmert_tpu.utils.boxes import box_position
+
+
+def prepare_sampler_params(xlx_params: Dict, cfg: LxmertConfig,
+                           centroids: np.ndarray) -> Dict:
+    """XLxmert param tree (models/xlxmert.py) -> int8 sampler tree:
+    {"bert": <engine tree>, "obj_head": ..., "mask_feat": ...}."""
+    oh = xlx_params["obj_predict_head"]
+    return {
+        "bert": prepare_params(xlx_params["bert"], cfg),
+        "obj_head": {
+            "transform": _qw(oh["transform"], "dense"),
+            "ln": _ln(oh["transform"], "LayerNorm"),
+            "linear_feat": _qw(oh, "linear_feat"),
+            # out_cluster weight is TIED to the centroid table
+            # (reference modeling.py:140-151): quantize centroids.T once
+            "cluster": quantize_weight(
+                np.asarray(centroids, np.float32).T,
+                np.asarray(oh["out_cluster_bias"], np.float32)),
+        },
+        "mask_feat": jnp.asarray(
+            np.asarray(xlx_params["mask_feat"], np.float32), jnp.bfloat16),
+    }
+
+
+def obj_head_forward(ohp: Dict, visn: jnp.ndarray) -> jnp.ndarray:
+    """(B, V, H) -> (B, V, num_clusters) fp32 cluster logits."""
+    h = int8_dense_shared(visn, ohp["transform"])
+    h = jax.nn.gelu(h, approximate=True)
+    h = layer_norm(h, ohp["ln"])
+    feat = int8_dense_shared(h, ohp["linear_feat"])
+    return int8_dense_shared(feat, ohp["cluster"]).astype(jnp.float32)
+
+
+def _predict_forward(sp: Dict, input_ids, feats, pos, mask, n_heads: int):
+    _, visn, _ = lxmert_forward(sp["bert"], input_ids, feats, pos,
+                                attention_mask=mask, n_heads=n_heads)
+    return obj_head_forward(sp["obj_head"], visn)
+
+
+def sampling_calibration_batches(sp: Dict, centroids, input_ids, mask,
+                                 grid_size: int = 8, seed: int = 0):
+    """Batches of (ids, feats, pos, mask) covering the decode-loop input
+    distribution: all-masked (step 0), half-committed, mostly-committed."""
+    n_cells = grid_size * grid_size
+    B = input_ids.shape[0]
+    pos = jnp.broadcast_to(
+        jnp.asarray(box_position(grid_size))[None], (B, n_cells, 4)
+    ).astype(jnp.bfloat16)
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(0, centroids.shape[0], (B, n_cells))
+    codes = jnp.asarray(np.asarray(centroids)[ids], jnp.bfloat16)
+    mask_feat = sp["mask_feat"][None, None, :]
+    out = []
+    for frac in (1.0, 0.5, 0.1):
+        m = jnp.asarray(rng.rand(B, n_cells) < frac, jnp.bfloat16)[..., None]
+        feats = m * mask_feat + (1 - m) * codes
+        out.append((input_ids, feats, pos, mask))
+    return out
+
+
+def calibrate_sampler(sp: Dict, centroids, input_ids, mask,
+                      cfg: LxmertConfig, grid_size: int = 8) -> Dict:
+    """Static-scale calibration over the sampling input distribution."""
+    batches = sampling_calibration_batches(sp, centroids, input_ids, mask,
+                                           grid_size)
+
+    def forward(sp_, ids, feats, pos, m):
+        _predict_forward(sp_, ids, feats, pos, m,
+                         cfg.num_attention_heads)
+
+    return calibrate_forward(forward, (sp,), batches)
+
+
+def make_nar_sampler_int8(cfg: LxmertConfig, n_steps: int,
+                          grid_size: int = 8):
+    """Jitted int8 NAR mask-predict sampler.
+
+    Returns fn(sp, centroids, input_ids, attention_mask)
+      -> (code (B,V,D) bf16, cluster_ids (B,V) int32, prob (B,V) fp32)
+    with the exact commit/re-mask semantics of
+    tasks/sampling.make_nar_sampler (reference imggen_model.py:169-257).
+    """
+    n_cells = grid_size * grid_size
+    box_pos = jnp.asarray(box_position(grid_size))
+    n_heads = cfg.num_attention_heads
+
+    @jax.jit
+    def sample(sp, centroids, input_ids, attention_mask):
+        B = input_ids.shape[0]
+        D = centroids.shape[1]
+        centroids_bf16 = centroids.astype(jnp.bfloat16)
+        pos = jnp.broadcast_to(box_pos[None], (B, n_cells, 4)).astype(
+            jnp.bfloat16)
+        code0 = jnp.zeros((B, n_cells, D), jnp.bfloat16)
+        ids0 = jnp.zeros((B, n_cells), jnp.int32)
+        prob0 = jnp.zeros((B, n_cells), jnp.float32)
+        mask_feat = sp["mask_feat"][None, None, :]
+
+        def step(carry, i):
+            code, ids, prob = carry
+            n_mask = ((n_steps - i) * n_cells) // n_steps
+            ranks = jnp.argsort(jnp.argsort(prob, axis=-1), axis=-1)
+            vis_mask = (ranks < n_mask).astype(jnp.float32)
+
+            feats = jnp.where(vis_mask[..., None] > 0, mask_feat, code)
+            logits = _predict_forward(sp, input_ids, feats, pos,
+                                      attention_mask, n_heads)
+            # max log-prob ranks identically to max softmax prob
+            logp = (logits.max(axis=-1)
+                    - jax.nn.logsumexp(logits, axis=-1))
+            pred_prob = jnp.exp(logp)
+            pred_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            pred_code = jnp.take(centroids_bf16, pred_id, axis=0)
+
+            m = vis_mask[..., None] > 0
+            code = jnp.where(m, pred_code, code)
+            ids = jnp.where(vis_mask > 0, pred_id, ids)
+            return (code, ids, pred_prob), None
+
+        (code, ids, prob), _ = jax.lax.scan(
+            step, (code0, ids0, prob0), jnp.arange(n_steps))
+        return code, ids, prob
+
+    return sample

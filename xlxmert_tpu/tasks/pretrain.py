@@ -152,6 +152,7 @@ class PretrainEngine:
             cfg.mesh_shape, cfg.mesh_axis_names)
         self.box_pos = jnp.asarray(box_position(cfg.grid_size))
         self._train_steps: Dict[str, Any] = {}
+        self._raw_train_steps: Dict[str, Any] = {}
         self._eval_steps: Dict[str, Any] = {}
 
     # -- initialization -----------------------------------------------------
@@ -243,6 +244,7 @@ class PretrainEngine:
                 metrics["grad_norm"] = optax.global_norm(grads)
                 return new_state, metrics
 
+            self._raw_train_steps[task] = step
             return jax.jit(step, donate_argnums=(0,))
 
         def estep(params, batch, rng, centroids):
@@ -255,6 +257,33 @@ class PretrainEngine:
         if task not in self._train_steps:
             self._train_steps[task] = self._make_step(task, train=True)
         return self._train_steps[task]
+
+    def chained_train_step(self, task: str, k: int):
+        """K train steps chained in ONE jitted lax.scan — the per-step
+        host round-trip (dispatch + metric fetch) amortizes to 1/k. This
+        is both the honest device-rate measurement through the axon
+        tunnel (scripts/drive_pretrain.py --chain) and the production
+        shape for metric-light phases: fetch metrics every k steps
+        instead of every step.
+
+        Returns fn(state, batch, rng, centroids)
+          -> (state, mean_total_loss over the k steps)."""
+        self.train_step(task)  # ensure the raw step exists
+        step = self._raw_train_steps[task]
+
+        def many(state, batch, rng, centroids):
+            def body(s, _):
+                # the raw step folds rng by state.step, so each chained
+                # step gets a distinct stream and k chained steps are
+                # numerically IDENTICAL to k sequential train_step calls
+                # (pinned in tests/test_pretrain_engine.py)
+                s2, m = step(s, batch, rng, centroids)
+                return s2, m["total_loss"]
+
+            state, losses = jax.lax.scan(body, state, None, length=k)
+            return state, losses.mean()
+
+        return jax.jit(many, donate_argnums=(0,))
 
     def eval_step(self, task: str):
         if task not in self._eval_steps:
