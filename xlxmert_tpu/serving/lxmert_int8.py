@@ -354,33 +354,46 @@ def _extend_mask(mask):
         :, None, None, :].astype(jnp.bfloat16)
 
 
-def lxmert_forward(qp: Dict, input_ids, visual_feats, visual_pos,
-                   attention_mask=None, visual_attention_mask=None,
-                   n_heads: int = 12):
-    """Returns (lang, visn, pooled), all bf16."""
-    lang_bias = _extend_mask(attention_mask)
-    visn_bias = _extend_mask(visual_attention_mask)
+def lang_encode(qp: Dict, input_ids, attention_mask=None,
+                n_heads: int = 12):
+    """Embeddings + the 9-layer language self-attention stack.
 
+    Split out because this half is STEP-INVARIANT inside the image
+    decode loops (the text never changes across NAR/AR steps; only the
+    x-layers mix modalities) — samplers compute it once outside the
+    scan (serving/sampling_int8.py)."""
+    lang_bias = _extend_mask(attention_mask)
     emb = qp["embeddings"]
     B, L = input_ids.shape
     h = (jnp.take(emb["word"], input_ids, axis=0)
          + emb["pos"][None, :L]
          + emb["type"][0][None, None, :])
     lang = layer_norm(h, emb["ln"])
+    for p in qp["lang_layers"]:
+        lang = _self_attention(lang, p["att"], lang_bias, n_heads)
+        lang = _ffn_apply(lang, p["ffn"])
+    return lang, lang_bias
 
+
+def visn_encode(qp: Dict, visual_feats, visual_pos,
+                visual_attention_mask=None, n_heads: int = 12):
+    """Visual feature encoder + the visual self-attention stack."""
+    visn_bias = _extend_mask(visual_attention_mask)
     vf = qp["visn_fc"]
     x = int8_dense_shared(visual_feats.astype(jnp.bfloat16), vf["feat"])
     x = layer_norm(x, vf["feat_ln"])
     y = visual_pos.astype(jnp.bfloat16) @ vf["box_kernel"] + vf["box_bias"]
     y = layer_norm(y, vf["box_ln"])
     visn = (x + y) * jnp.bfloat16(0.5)
-
-    for p in qp["lang_layers"]:
-        lang = _self_attention(lang, p["att"], lang_bias, n_heads)
-        lang = _ffn_apply(lang, p["ffn"])
     for p in qp["visn_layers"]:
         visn = _self_attention(visn, p["att"], visn_bias, n_heads)
         visn = _ffn_apply(visn, p["ffn"])
+    return visn, visn_bias
+
+
+def cross_encode(qp: Dict, lang, visn, lang_bias, visn_bias,
+                 n_heads: int = 12):
+    """The 5 cross-modality layers + pooler -> (lang, visn, pooled)."""
     for p in qp["x_layers"]:
         # shared cross-attn both directions; each side's KV computed once
         lang_kv = int8_dense_shared(lang, p["cross"]["kv"])
@@ -397,6 +410,16 @@ def lxmert_forward(qp: Dict, input_ids, visual_feats, visual_pos,
     pooled = jnp.tanh(lang[:, 0] @ qp["pooler"]["kernel"]
                       + qp["pooler"]["bias"])
     return lang, visn, pooled
+
+
+def lxmert_forward(qp: Dict, input_ids, visual_feats, visual_pos,
+                   attention_mask=None, visual_attention_mask=None,
+                   n_heads: int = 12):
+    """Returns (lang, visn, pooled), all bf16."""
+    lang, lang_bias = lang_encode(qp, input_ids, attention_mask, n_heads)
+    visn, visn_bias = visn_encode(qp, visual_feats, visual_pos,
+                                  visual_attention_mask, n_heads)
+    return cross_encode(qp, lang, visn, lang_bias, visn_bias, n_heads)
 
 
 def answer_head_forward(hp: Dict, pooled):

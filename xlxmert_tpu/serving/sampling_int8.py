@@ -9,11 +9,21 @@ calibrated activation scales (serving/lxmert_int8.py), including the
 visual-cluster head's transform -> linear_feat -> (2048 x 10000)
 centroid logits matmul.
 
-Semantics match tasks/sampling.make_nar_sampler exactly, with one
-serving-mode refinement: cells are re-mask-ranked by per-cell max
-LOG-probability (max logit - logsumexp) instead of materializing the
-full (B, 64, 10000) softmax — the ranking is identical (monotone map),
-the returned per-cell probability is exp(logp) as before.
+Semantics match tasks/sampling.make_nar_sampler exactly, with two
+serving-mode refinements:
+  - cells are re-mask-ranked by per-cell max LOG-probability
+    (max logit - logsumexp) instead of materializing the full
+    (B, 64, 10000) softmax — the ranking is identical (monotone map),
+    the returned per-cell probability is exp(logp) as before;
+  - the 9-layer language stack runs ONCE outside the decode scan (the
+    text is fixed across steps; only the x-layers mix modalities) —
+    lxmert_int8.lang_encode / _predict_from_lang.
+
+MEASURED on TPU v5e (B=64, 4 steps, 10k clusters, 256px SPADE render,
+scripts/drive_sample_int8.py):
+  bf16 decode loop (tasks/sampling.py)          868-877 samples/s
+  int8 loop, lang stack inside the scan         1000 samples/s
+  int8 loop + cached lang stack                 1073 samples/s
 
 Calibration: `sampling_calibration_batches` builds code grids at the
 mask ratios the decode loop actually visits (step 0 = all mask_feat,
@@ -31,8 +41,8 @@ import numpy as np
 from xlxmert_tpu.core.config import LxmertConfig
 from xlxmert_tpu.ops.quant import quantize_weight
 from xlxmert_tpu.serving.lxmert_int8 import (
-    _ln, _qw, calibrate_forward, int8_dense_shared, layer_norm,
-    lxmert_forward, prepare_params,
+    _ln, _qw, calibrate_forward, cross_encode, int8_dense_shared,
+    lang_encode, layer_norm, prepare_params, visn_encode,
 )
 from xlxmert_tpu.utils.boxes import box_position
 
@@ -68,10 +78,20 @@ def obj_head_forward(ohp: Dict, visn: jnp.ndarray) -> jnp.ndarray:
     return int8_dense_shared(feat, ohp["cluster"]).astype(jnp.float32)
 
 
-def _predict_forward(sp: Dict, input_ids, feats, pos, mask, n_heads: int):
-    _, visn, _ = lxmert_forward(sp["bert"], input_ids, feats, pos,
-                                attention_mask=mask, n_heads=n_heads)
+def _predict_from_lang(sp: Dict, lang, lang_bias, feats, pos,
+                       n_heads: int):
+    """Decode-step half: visual stack + x-layers + cluster head. The
+    language stack is step-invariant (text fixed across decode steps) —
+    callers run lang_encode ONCE and reuse (lang, lang_bias)."""
+    visn, visn_bias = visn_encode(sp["bert"], feats, pos, None, n_heads)
+    _, visn, _ = cross_encode(sp["bert"], lang, visn, lang_bias,
+                              visn_bias, n_heads)
     return obj_head_forward(sp["obj_head"], visn)
+
+
+def _predict_forward(sp: Dict, input_ids, feats, pos, mask, n_heads: int):
+    lang, lang_bias = lang_encode(sp["bert"], input_ids, mask, n_heads)
+    return _predict_from_lang(sp, lang, lang_bias, feats, pos, n_heads)
 
 
 def sampling_calibration_batches(sp: Dict, centroids, input_ids, mask,
@@ -132,6 +152,9 @@ def make_nar_sampler_int8(cfg: LxmertConfig, n_steps: int,
         ids0 = jnp.zeros((B, n_cells), jnp.int32)
         prob0 = jnp.zeros((B, n_cells), jnp.float32)
         mask_feat = sp["mask_feat"][None, None, :]
+        # text is fixed across decode steps: run the language stack once
+        lang, lang_bias = lang_encode(sp["bert"], input_ids,
+                                      attention_mask, n_heads)
 
         def step(carry, i):
             code, ids, prob = carry
@@ -140,8 +163,8 @@ def make_nar_sampler_int8(cfg: LxmertConfig, n_steps: int,
             vis_mask = (ranks < n_mask).astype(jnp.float32)
 
             feats = jnp.where(vis_mask[..., None] > 0, mask_feat, code)
-            logits = _predict_forward(sp, input_ids, feats, pos,
-                                      attention_mask, n_heads)
+            logits = _predict_from_lang(sp, lang, lang_bias, feats, pos,
+                                        n_heads)
             # max log-prob ranks identically to max softmax prob
             logp = (logits.max(axis=-1)
                     - jax.nn.logsumexp(logits, axis=-1))
