@@ -20,6 +20,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--mode", choices=["NAR", "AR"], default="NAR")
     ap.add_argument("--skip_bf16", action="store_true")
     ns = ap.parse_args()
 
@@ -82,7 +83,22 @@ def main():
         per_iter = (t(K_BIG) - t(K_SMALL)) / (K_BIG - K_SMALL)
         return B / per_iter
 
-    sampler_i8 = make_nar_sampler_int8(cfg, N_STEPS, GRID)
+    if ns.mode == "AR":
+        from xlxmert_tpu.serving.sampling_int8 import make_ar_sampler_int8
+        from xlxmert_tpu.tasks.sampling import make_ar_sampler
+
+        ar_i8 = make_ar_sampler_int8(cfg, GRID, "confidence")
+        ar_bf = make_ar_sampler(model, GRID, "confidence")
+
+        def sampler_i8(ssp, centroids, ids, mask):
+            code, cl = ar_i8(ssp, centroids, ids, mask)
+            return code, cl, None
+
+        def sampler_bf16(params, centroids, ids, mask):
+            code, cl = ar_bf(params, centroids, ids, mask)
+            return code, cl, None
+    else:
+        sampler_i8 = make_nar_sampler_int8(cfg, N_STEPS, GRID)
 
     @jax.jit
     def run_i8(ssp, centroids, g_params, g_sn, ids, mask, ks, seed):
@@ -96,11 +112,13 @@ def main():
         c, _ = jax.lax.scan(body, seed, ks)
         return c
 
+    label = ns.mode if ns.mode == "AR" else f"NAR x{N_STEPS}"
     sps = timed(run_i8, (ssp, centroids, g_params, g_sn, ids, mask))
-    print(f"int8 NAR x{N_STEPS} + render: {sps:8.1f} samples/s")
+    print(f"int8 {label} + render: {sps:8.1f} samples/s")
 
     if not ns.skip_bf16:
-        sampler_bf = make_nar_sampler(model, N_STEPS, GRID)
+        sampler_bf = (sampler_bf16 if ns.mode == "AR"
+                      else make_nar_sampler(model, N_STEPS, GRID))
 
         @jax.jit
         def run_bf(params, centroids, g_params, g_sn, ids, mask, ks, seed):
@@ -115,7 +133,7 @@ def main():
             return c
 
         sps = timed(run_bf, (params, centroids, g_params, g_sn, ids, mask))
-        print(f"bf16 NAR x{N_STEPS} + render: {sps:8.1f} samples/s")
+        print(f"bf16 {label} + render: {sps:8.1f} samples/s")
 
 
 if __name__ == "__main__":

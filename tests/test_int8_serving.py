@@ -173,3 +173,55 @@ def test_static_calibrated_mode_matches_flax():
     ref2 = np.asarray(head.apply({"params": hp}, pooled2))
     got2 = np.asarray(fn(sqp, shqp, ids2, feats2, pos2, mask2))
     assert cos(got2, ref2) > 0.98
+
+
+def test_int8_serving_under_data_parallel_mesh():
+    """Production multi-chip serving: the int8 forward jitted over a
+    data mesh (batch sharded, quantized params replicated) must equal
+    the single-device result — GSPMD partitions the engine with no code
+    changes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from xlxmert_tpu.serving.lxmert_int8 import (
+        answer_head_forward, apply_calibration, calibrate,
+    )
+    from xlxmert_tpu.parallel.mesh import make_mesh
+
+    model = LxmertModel(CFG, dtype=jnp.float32)
+    head = VisualAnswerHead(CFG, num_labels=29, dtype=jnp.float32)
+    B, L, V = 16, 12, 16
+    r = np.random.RandomState(11)
+    ids = jnp.asarray(r.randint(1, 200, (B, L)).astype(np.int32))
+    mask = jnp.asarray(np.ones((B, L), np.float32))
+    feats = jnp.asarray(r.randn(B, V, 32).astype(np.float32) * 0.5)
+    pos = jnp.asarray(np.broadcast_to(box_position(4)[None],
+                                      (B, V, 4)).copy())
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos,
+                        attention_mask=mask)["params"]
+    hp = head.init(jax.random.PRNGKey(1), jnp.zeros((B, CFG.hidden_size))
+                   )["params"]
+    qp = prepare_params(params, CFG)
+    hqp = prepare_answer_head(hp)
+    calib = calibrate(qp, hqp, [(ids, feats, pos, mask)], CFG)
+    sqp = apply_calibration(qp, calib)
+    shqp = apply_calibration(hqp, calib)
+
+    def fwd(sqp, shqp, ids, feats, pos, mask):
+        _, _, pooled = lxmert_forward(sqp, ids, feats, pos,
+                                      attention_mask=mask,
+                                      n_heads=CFG.num_attention_heads)
+        return answer_head_forward(shqp, pooled)
+
+    ref = jax.jit(fwd)(sqp, shqp, ids, feats, pos, mask)
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("data"))
+    sqp_r = jax.device_put(sqp, repl)
+    shqp_r = jax.device_put(shqp, repl)
+    args = [jax.device_put(x, batched) for x in (ids, feats, pos, mask)]
+    out = jax.jit(fwd)(sqp_r, shqp_r, *args)
+    assert out.sharding.is_equivalent_to(batched, out.ndim)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-3)

@@ -89,3 +89,25 @@ def test_nar_int8_loop_mechanics(setup):
     # deterministic
     code2, cl2, _ = sampler(ssp, jnp.asarray(centroids), ids, mask)
     np.testing.assert_array_equal(cl, np.asarray(cl2))
+
+
+@pytest.mark.parametrize("strategy", ["confidence", "TLBR", "order"])
+def test_ar_int8_commits_every_cell(setup, strategy):
+    from xlxmert_tpu.serving.sampling_int8 import make_ar_sampler_int8
+
+    _, _, ssp, centroids, ids, mask, _, _ = setup
+    sampler = make_ar_sampler_int8(CFG, grid_size=GRID, strategy=strategy)
+    args = (ssp, jnp.asarray(centroids), ids, mask)
+    if strategy == "order":
+        order = jnp.asarray(np.random.RandomState(5).permutation(N_CELLS))
+        code, cl_ids = sampler(*args, order)
+    else:
+        code, cl_ids = sampler(*args)
+    B = ids.shape[0]
+    assert code.shape == (B, N_CELLS, CFG.visual_feat_dim)
+    cl = np.asarray(cl_ids)
+    assert (cl >= 0).all() and (cl < CFG.num_clusters).all()
+    # one cell per step, n_cells steps -> every cell committed exactly once
+    want = np.asarray(centroids)[cl]
+    np.testing.assert_allclose(np.asarray(code, np.float32), want,
+                               atol=2e-2, rtol=1e-2)

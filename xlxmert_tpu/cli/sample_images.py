@@ -90,12 +90,13 @@ def main(argv=None):
     sentences = [l.strip() for l in open(ns.sentences) if l.strip()]
     print(f"{len(sentences)} sentences")
 
-    if ns.int8 and (ns.sample_mode != "NAR" or ns.save_intermediate):
-        raise SystemExit("--int8 supports NAR without --save_intermediate")
+    if ns.int8 and ns.save_intermediate:
+        raise SystemExit("--int8 does not support --save_intermediate")
     if ns.int8:
         from xlxmert_tpu.serving.lxmert_int8 import apply_calibration
         from xlxmert_tpu.serving.sampling_int8 import (
-            calibrate_sampler, make_nar_sampler_int8, prepare_sampler_params,
+            calibrate_sampler, make_ar_sampler_int8, make_nar_sampler_int8,
+            prepare_sampler_params,
         )
 
         tok0 = Tokenizer(ns.vocab)
@@ -108,7 +109,13 @@ def main(argv=None):
             sp, centroids, jnp.asarray(ids0),
             jnp.asarray((ids0 > 0).astype(np.float32)), cfg, ns.grid_size)
         params = apply_calibration(sp, calib)  # sampler tree replaces params
-        sampler = make_nar_sampler_int8(cfg, ns.sample_steps, ns.grid_size)
+        if ns.sample_mode == "NAR":
+            sampler = make_nar_sampler_int8(cfg, ns.sample_steps,
+                                            ns.grid_size)
+        else:
+            strategy = ("order" if ns.position_strategy == "random"
+                        else ns.position_strategy)
+            sampler = make_ar_sampler_int8(cfg, ns.grid_size, strategy)
         print("int8 serving path calibrated")
     elif ns.sample_mode == "NAR":
         sampler = make_nar_sampler(model, ns.sample_steps, ns.grid_size,

@@ -182,3 +182,80 @@ def make_nar_sampler_int8(cfg: LxmertConfig, n_steps: int,
         return code, ids, prob
 
     return sample
+
+
+def make_ar_sampler_int8(cfg: LxmertConfig, grid_size: int = 8,
+                         strategy: str = "confidence",
+                         n_steps=None):
+    """Jitted int8 AR sampler (reference imggen_model.py:49-167, bf16
+    transcription in tasks/sampling.make_ar_sampler). One cell committed
+    per step over n_steps (default 64) full forwards — the cached
+    language stack and int8 encoder pay off n_steps times here.
+
+    strategy in {"confidence", "TLBR", "order"}; "order" consumes a
+    caller-provided (n_steps,) position array.
+
+    Returns fn(sp, centroids, input_ids, attention_mask[, positions])
+      -> (code, cluster_ids).
+    """
+    import functools
+
+    n_cells = grid_size * grid_size
+    n_steps = n_steps or n_cells
+    box_pos = jnp.asarray(box_position(grid_size))
+    n_heads = cfg.num_attention_heads
+    NEG = -10000.0  # matches reference masked_fill (imggen_model.py:141)
+
+    def _run(sp, centroids, input_ids, attention_mask, positions):
+        B = input_ids.shape[0]
+        D = centroids.shape[1]
+        centroids_bf16 = centroids.astype(jnp.bfloat16)
+        pos = jnp.broadcast_to(box_pos[None], (B, n_cells, 4)).astype(
+            jnp.bfloat16)
+        code0 = jnp.zeros((B, n_cells, D), jnp.bfloat16)
+        ids0 = jnp.zeros((B, n_cells), jnp.int32)
+        vis_mask0 = jnp.ones((B, n_cells), jnp.float32)
+        visited0 = jnp.zeros((B, n_cells), jnp.float32)
+        mask_feat = sp["mask_feat"][None, None, :]
+        lang, lang_bias = lang_encode(sp["bert"], input_ids,
+                                      attention_mask, n_heads)
+
+        def body(i, carry):
+            code, ids, vis_mask, visited = carry
+            if strategy in ("TLBR", "order"):
+                cur = positions[i] if strategy == "order" else i % n_cells
+                onehot_cur = jax.nn.one_hot(cur, n_cells,
+                                            dtype=jnp.float32)
+                vis_mask = jnp.maximum(vis_mask, onehot_cur[None, :])
+
+            feats = jnp.where(vis_mask[..., None] > 0, mask_feat, code)
+            logits = _predict_from_lang(sp, lang, lang_bias, feats, pos,
+                                        n_heads)
+            logp = (logits.max(axis=-1)
+                    - jax.nn.logsumexp(logits, axis=-1))
+            pred_prob = jnp.exp(logp)
+            pred_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            if strategy == "confidence":
+                scores = jnp.where(visited > 0, NEG, pred_prob)
+                top = jnp.argmax(scores, axis=-1)
+                update = jax.nn.one_hot(top, n_cells, dtype=jnp.float32)
+            else:
+                update = jnp.broadcast_to(onehot_cur[None, :],
+                                          (B, n_cells))
+
+            pred_code = jnp.take(centroids_bf16, pred_id, axis=0)
+            m = update[..., None] > 0
+            code = jnp.where(m, pred_code, code)
+            ids = jnp.where(update > 0, pred_id, ids)
+            vis_mask = vis_mask * (1.0 - update)
+            visited = jnp.maximum(visited, update)
+            return code, ids, vis_mask, visited
+
+        code, ids, _, _ = jax.lax.fori_loop(
+            0, n_steps, body, (code0, ids0, vis_mask0, visited0))
+        return code, ids
+
+    if strategy == "order":
+        return jax.jit(_run)
+    return jax.jit(functools.partial(_run, positions=None))
