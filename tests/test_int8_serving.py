@@ -225,3 +225,49 @@ def test_int8_serving_under_data_parallel_mesh():
     assert out.sharding.is_equivalent_to(batched, out.ndim)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=1e-3)
+
+
+def test_nlvr2_int8_forward_matches_flax():
+    """Int8 NLVR2 (2-image flatten + sentence repeat + 2*hidden head)
+    pins to the fp32 NLVR2Model."""
+    from xlxmert_tpu.models.task_heads import NLVR2Model
+    from xlxmert_tpu.serving.lxmert_int8 import (
+        apply_calibration, calibrate_forward, nlvr2_forward,
+    )
+
+    model = NLVR2Model(CFG, num_answers=2, dtype=jnp.float32)
+    B, L, V = 6, 10, 16
+    r = np.random.RandomState(4)
+    ids = jnp.asarray(r.randint(1, 200, (B, L)).astype(np.int32))
+    mask = jnp.asarray(np.ones((B, L), np.float32))
+    feats = jnp.asarray(r.randn(B, 2, V, 32).astype(np.float32) * 0.5)
+    pos = jnp.asarray(np.broadcast_to(box_position(4)[None, None],
+                                      (B, 2, V, 4)).copy())
+    variables = model.init(jax.random.PRNGKey(0), ids, feats, pos,
+                           attention_mask=mask)
+    params = variables["params"]
+    ref = model.apply(variables, ids, feats, pos, attention_mask=mask)
+
+    qp = prepare_params(params["bert"], CFG)
+    hqp = prepare_answer_head(params["logit_fc"])
+
+    def fwd(qp_, hqp_, ids, feats, pos, mask):
+        nlvr2_forward(qp_, hqp_, ids, feats, pos, attention_mask=mask,
+                      n_heads=CFG.num_attention_heads)
+
+    calib = calibrate_forward(fwd, (qp, hqp),
+                              [(ids, feats, pos, mask)])
+    sqp = apply_calibration(qp, calib)
+    shqp = apply_calibration(hqp, calib)
+    got = jax.jit(
+        lambda a, b, i, f, p, m: nlvr2_forward(
+            a, b, i, f, p, attention_mask=m,
+            n_heads=CFG.num_attention_heads))(sqp, shqp, ids, feats, pos,
+                                              mask)
+    a = np.asarray(ref, np.float32).ravel()
+    b = np.asarray(got, np.float32).ravel()
+    c = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert c > 0.98, c
+    # answers agree on most examples (2-way argmax)
+    agree = (np.asarray(ref).argmax(-1) == np.asarray(got).argmax(-1)).mean()
+    assert agree >= 0.8, agree

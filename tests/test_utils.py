@@ -16,7 +16,8 @@ def test_step_timer_summary():
             time.sleep(0.005)
     s = t.summary()
     assert s["n"] == 3
-    assert 0.004 < s["mean_s"] < 0.05
+    # upper bound is generous: sleep() overshoots badly on a loaded host
+    assert 0.004 < s["mean_s"] < 1.0
     assert s["steps_per_sec"] > 0
 
 

@@ -429,6 +429,24 @@ def answer_head_forward(hp: Dict, pooled):
     return int8_dense_shared(h, hp["w2"]).astype(jnp.float32)
 
 
+def nlvr2_forward(qp: Dict, head_qp: Dict, input_ids, visual_feats,
+                  visual_pos, attention_mask=None, n_heads: int = 12):
+    """Int8 NLVR2 forward (2 images/example, models/task_heads.py
+    NLVR2Model semantics; reference tasks/nlvr2_model.py:7-93):
+    (B,2,V,D) flattened to (2B,V,D), sentence repeated per image, the
+    two pooled outputs concatenated into the 2*hidden head input."""
+    B, n_images, V, D = visual_feats.shape
+    assert n_images == 2
+    feats = visual_feats.reshape(B * 2, V, D)
+    pos = visual_pos.reshape(B * 2, V, -1)
+    ids = jnp.repeat(input_ids, 2, axis=0)
+    mask = (jnp.repeat(attention_mask, 2, axis=0)
+            if attention_mask is not None else None)
+    _, _, pooled = lxmert_forward(qp, ids, feats, pos,
+                                  attention_mask=mask, n_heads=n_heads)
+    return answer_head_forward(head_qp, pooled.reshape(B, -1))
+
+
 def make_vqa_serving_fn(cfg: LxmertConfig):
     """Jitted int8 VQA forward: (qp, head_qp, ids, feats, pos, mask) ->
     logits."""

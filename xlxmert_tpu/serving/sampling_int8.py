@@ -19,11 +19,15 @@ serving-mode refinements:
     text is fixed across steps; only the x-layers mix modalities) —
     lxmert_int8.lang_encode / _predict_from_lang.
 
-MEASURED on TPU v5e (B=64, 4 steps, 10k clusters, 256px SPADE render,
+MEASURED on TPU v5e (B=64, 10k clusters, 256px SPADE render,
 scripts/drive_sample_int8.py):
-  bf16 decode loop (tasks/sampling.py)          868-877 samples/s
-  int8 loop, lang stack inside the scan         1000 samples/s
-  int8 loop + cached lang stack                 1073 samples/s
+  NAR 4 steps:
+    bf16 decode loop (tasks/sampling.py)        868-877 samples/s
+    int8 loop, lang stack inside the scan       1000 samples/s
+    int8 loop + cached lang stack               1073 samples/s
+  AR 64 steps (confidence):
+    bf16 decode loop                            108.2 samples/s
+    int8 loop + cached lang stack               155.4 samples/s (+44%)
 
 Calibration: `sampling_calibration_batches` builds code grids at the
 mask ratios the decode loop actually visits (step 0 = all mask_feat,
