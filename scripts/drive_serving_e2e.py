@@ -1,0 +1,223 @@
+"""End-to-end VQA serving measurement INCLUDING the host pipeline.
+
+The device-only bench (bench.py) isolates chip throughput; production
+serving must also tokenize questions, read grid features from h5, and
+get batches host->device. At ~10k q/s the feed is 64x2048 fp32 =
+512 KB/sample = ~5 GB/s — this script measures whether the host path
+(data/io.py RAM-cached reader + PrefetchLoader + tokenizer) sustains
+the device rate, mirroring the reference's DataLoader-driven hot loop
+(/root/reference/x-lxmert/src/tasks/vqa.py:151-227).
+
+Three feed modes (each measured):
+  stream-fp32  — the reference contract: full fp32 features per query.
+  stream-fp16  — halve the wire bytes; the engine quantizes to int8
+                 anyway so fp16 input is precision-neutral.
+  device-cache — the TPU-native design: the image-feature table is
+                 resident in HBM (COCO val2014 8x8 grid = ~41k imgs
+                 x 512 KB = 20 GB fp32 / 10 GB bf16 — fits v5e HBM at
+                 bf16 for val-scale catalogs; shard the table over the
+                 mesh for larger ones). A query then ships only token
+                 ids + an image index, and the features are gathered
+                 on device. H2D per batch drops from 134 MB to ~25 KB.
+
+Builds a synthetic world (grid h5 + questions + vocab) in /tmp, then
+streams batches through the int8 engine with a prefetch thread.
+
+Usage: python scripts/drive_serving_e2e.py [--batch 256] [--images 512]
+       [--batches 40]
+"""
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+WORDS = ["what", "color", "is", "the", "dog", "cat", "man", "woman",
+         "holding", "wearing", "on", "a", "red", "blue", "left", "right",
+         "how", "many", "people", "are"]
+
+
+def build_world(tmp, n_images, grid=8, feat_dim=2048):
+    import h5py
+
+    rng = np.random.RandomState(0)
+    h5_path = os.path.join(tmp, "grid8.h5")
+    with h5py.File(h5_path, "w") as f:
+        for i in range(n_images):
+            g = f.create_group(f"img_{i}")
+            g.create_dataset(
+                "features",
+                data=rng.randn(grid, grid, feat_dim).astype(np.float32) * 0.1)
+    vocab_path = os.path.join(tmp, "vocab.txt")
+    with open(vocab_path, "w") as f:
+        for t in ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + WORDS:
+            f.write(t + "\n")
+    questions = [" ".join(rng.choice(WORDS, size=rng.randint(4, 12)))
+                 for _ in range(4096)]
+    return h5_path, vocab_path, questions
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--images", type=int, default=512)
+    ap.add_argument("--batches", type=int, default=40)
+    ns = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.core.config import LxmertConfig
+    from xlxmert_tpu.data.io import GridFeatureReader, PrefetchLoader
+    from xlxmert_tpu.data.tokenization import Tokenizer
+    from xlxmert_tpu.models.lxmert import LxmertModel, VisualAnswerHead, serving_mode
+    from xlxmert_tpu.serving import lxmert_int8 as engine
+    from xlxmert_tpu.utils.boxes import box_position
+
+    print("devices:", jax.devices())
+    cfg = LxmertConfig()
+    serving_mode(True)
+    B, L, V = ns.batch, 20, 64
+
+    tmp = tempfile.mkdtemp(prefix="xlxmert_e2e_")
+    t0 = time.time()
+    h5_path, vocab_path, questions = build_world(tmp, ns.images)
+    print(f"world built in {time.time()-t0:.1f}s "
+          f"({ns.images} images, {len(questions)} questions)")
+
+    tokenizer = Tokenizer(vocab_path)
+    reader = GridFeatureReader(h5_path, cache="ram")
+    img_ids = reader.keys()
+
+    t_start = time.time()
+
+    def mark(msg):
+        print(f"[{time.time()-t_start:7.1f}s] {msg}", flush=True)
+
+    # model + int8 params (random weights; compute path is what matters).
+    # Params are initialized ON THE HOST CPU backend: shipping 200M bf16
+    # params to the device only to fetch them back for quantization costs
+    # ~15 min through the axon tunnel; the device only ever needs the
+    # int8 tree (4x smaller), which the first jitted step uploads.
+    model = LxmertModel(cfg, dtype=jnp.bfloat16)
+    head = VisualAnswerHead(cfg, num_labels=3129, dtype=jnp.bfloat16)
+    cpu = jax.devices("cpu")[0]
+    rng = jax.random.PRNGKey(0)
+    ids0 = jnp.ones((B, L), jnp.int32)
+    mask0 = jnp.ones((B, L), jnp.float32)
+    pos_np = np.broadcast_to(box_position(8)[None], (B, V, 4)).astype(
+        np.float32)
+    pos = jnp.asarray(pos_np, jnp.bfloat16)
+    with jax.default_device(cpu):
+        feats_np = (np.random.RandomState(0)
+                    .randn(B, V, cfg.visual_feat_dim)
+                    .astype(np.float32) * 0.1)
+        params = jax.jit(lambda r: model.init(
+            r, ids0[:8], jnp.asarray(feats_np[:8], jnp.bfloat16),
+            pos[:8], attention_mask=mask0[:8])["params"])(rng)
+        head_params = head.init(
+            rng, jnp.zeros((8, cfg.hidden_size)))["params"]
+    mark("params initialized on host CPU")
+    qp = engine.prepare_params(jax.tree.map(np.asarray, params), cfg)
+    hqp = engine.prepare_answer_head(jax.tree.map(np.asarray, head_params))
+    mark("int8 quantization done")
+    calib = engine.calibrate(
+        qp, hqp, [(ids0[:8], jnp.asarray(feats_np[:8]), pos[:8],
+                   mask0[:8])], cfg)
+    sqp = engine.apply_calibration(qp, calib)
+    shqp = engine.apply_calibration(hqp, calib)
+    mark("calibration done")
+
+    @jax.jit
+    def step(sqp, shqp, ids, feats, pos, mask):
+        _, _, pooled = engine.lxmert_forward(
+            sqp, ids, feats, pos, attention_mask=mask,
+            n_heads=cfg.num_attention_heads)
+        return engine.answer_head_forward(shqp, pooled).argmax(-1)
+
+    host_rng = np.random.RandomState(1)
+
+    def host_batches(wire_dtype=np.float32, with_feats=True):
+        def gen():
+            for _ in range(ns.batches + 2):
+                qs = [questions[i] for i in
+                      host_rng.randint(0, len(questions), B)]
+                ids = tokenizer.encode_batch(qs, L)
+                mask = (ids > 0).astype(np.float32)
+                picks = host_rng.randint(0, len(img_ids), B)
+                if not with_feats:
+                    yield (ids, picks.astype(np.int32), mask)
+                    continue
+                feats = reader.get_batch([img_ids[i] for i in picks])
+                yield (ids, feats.reshape(B, V, -1).astype(
+                    wire_dtype, copy=False), mask)
+        return gen
+
+    def run_stream(wire_dtype, tag):
+        it = iter(PrefetchLoader(host_batches(wire_dtype), depth=4))
+        ids, feats, mask = next(it)  # warm: compile + fill RAM cache
+        np.asarray(step(sqp, shqp, jnp.asarray(ids), jnp.asarray(feats),
+                        pos, jnp.asarray(mask)))
+        mark(f"{tag} compiled + warm")
+        next(it)
+        t0 = time.time()
+        n, last = 0, None
+        for ids, feats, mask in it:
+            last = step(sqp, shqp, jnp.asarray(ids), jnp.asarray(feats),
+                        pos, jnp.asarray(mask))
+            n += B
+        np.asarray(last)  # drain the async queue
+        dt = time.time() - t0
+        print(f"e2e {tag:13s} (tokenize + h5 read + H2D + int8 fwd): "
+              f"{n/dt:8.1f} q/s over {n} queries")
+
+    run_stream(np.float32, "stream-fp32")
+    run_stream(np.float16, "stream-fp16")
+
+    # device-cache mode: the whole feature table lives in HBM (bf16);
+    # per query only token ids + an image index cross the wire.
+    table = jnp.asarray(
+        np.stack([reader.get(i) for i in img_ids]).reshape(
+            len(img_ids), V, -1), jnp.bfloat16)
+
+    @jax.jit
+    def step_cached(sqp, shqp, table, ids, picks, pos, mask):
+        feats = jnp.take(table, picks, axis=0)
+        _, _, pooled = engine.lxmert_forward(
+            sqp, ids, feats, pos, attention_mask=mask,
+            n_heads=cfg.num_attention_heads)
+        return engine.answer_head_forward(shqp, pooled).argmax(-1)
+
+    mark("feature table uploaded to HBM")
+    it = iter(PrefetchLoader(host_batches(with_feats=False), depth=4))
+    ids, picks, mask = next(it)
+    np.asarray(step_cached(sqp, shqp, table, jnp.asarray(ids),
+                           jnp.asarray(picks), pos, jnp.asarray(mask)))
+    mark("device-cache compiled + warm")
+    next(it)
+    t0 = time.time()
+    n, last = 0, None
+    for ids, picks, mask in it:
+        last = step_cached(sqp, shqp, table, jnp.asarray(ids),
+                           jnp.asarray(picks), pos, jnp.asarray(mask))
+        n += B
+    np.asarray(last)
+    dt = time.time() - t0
+    print(f"e2e device-cache (tokenize + idx H2D + gather + int8 fwd): "
+          f"{n/dt:8.1f} q/s over {n} queries")
+
+    # host-only rate for context (no device work)
+    t0 = time.time()
+    n = 0
+    for _ in PrefetchLoader(host_batches(np.float32), depth=4):
+        n += B
+    dt = time.time() - t0
+    print(f"host pipeline alone (fp32 wire): {n/dt:8.1f} q/s")
+
+
+if __name__ == "__main__":
+    main()
