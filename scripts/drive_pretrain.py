@@ -18,9 +18,18 @@ parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--chain", type=int, default=0,
                     help="also measure K chained steps per task in one "
                     "jit (true device rate; cancels tunnel round-trip)")
+parser.add_argument("--no_dropout", action="store_true",
+                    help="ablation: zero dropout rates (flax short-"
+                    "circuits, no RNG bits generated) to isolate the "
+                    "PRNG + mask cost in the train step")
+parser.add_argument("--rng_impl", default=None,
+                    help="ablation: jax_default_prng_impl (e.g. rbg)")
 args = parser.parse_args()
 
 import jax
+
+if args.rng_impl:
+    jax.config.update("jax_default_prng_impl", args.rng_impl)
 
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -43,6 +52,12 @@ if args.tiny:
 else:
     model_cfg = LxmertConfig()
     cfg = TrainConfig(batch_size=args.batch)
+
+if args.no_dropout:
+    import dataclasses
+
+    model_cfg = dataclasses.replace(
+        model_cfg, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
 
 eng = PretrainEngine(cfg, model_cfg=model_cfg, total_steps=1000)
 t0 = time.time()

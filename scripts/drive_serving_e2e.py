@@ -180,13 +180,14 @@ def main():
 
     # device-cache mode: the whole feature table lives in HBM (bf16);
     # per query only token ids + an image index cross the wire.
-    table = jnp.asarray(
-        np.stack([reader.get(i) for i in img_ids]).reshape(
-            len(img_ids), V, -1), jnp.bfloat16)
+    from xlxmert_tpu.serving.feature_cache import FeatureCache
+
+    cache = FeatureCache.build(reader, img_ids, dtype=jnp.bfloat16)
+    table = cache.table
 
     @jax.jit
     def step_cached(sqp, shqp, table, ids, picks, pos, mask):
-        feats = jnp.take(table, picks, axis=0)
+        feats = FeatureCache.lookup(table, picks)
         _, _, pooled = engine.lxmert_forward(
             sqp, ids, feats, pos, attention_mask=mask,
             n_heads=cfg.num_attention_heads)

@@ -271,3 +271,84 @@ def test_nlvr2_int8_forward_matches_flax():
     # answers agree on most examples (2-way argmax)
     agree = (np.asarray(ref).argmax(-1) == np.asarray(got).argmax(-1)).mean()
     assert agree >= 0.8, agree
+
+
+def test_feature_cache_sharded_lookup():
+    """FeatureCache: table sharded over the data axis, lookup inside a
+    jitted sharded program == host gather; serving forward from cached
+    features == forward from streamed features."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from xlxmert_tpu.parallel.mesh import make_mesh
+    from xlxmert_tpu.serving.feature_cache import FeatureCache
+
+    class FakeReader:
+        def __init__(self, n, g=4, d=32):
+            r = np.random.RandomState(7)
+            self.data = {f"img_{i}": r.randn(g, g, d).astype(np.float32)
+                         for i in range(n)}
+
+        def get(self, img_id):
+            return self.data[img_id]
+
+    n_imgs = 13  # deliberately not divisible by 8 -> pad rows
+    reader = FakeReader(n_imgs)
+    ids = list(reader.data.keys())
+    mesh = make_mesh()
+    cache = FeatureCache.build(reader, ids, dtype=jnp.float32, mesh=mesh)
+    assert cache.table.shape[0] == 16  # padded to the mesh size
+    assert not cache.table.sharding.is_fully_replicated
+
+    B = 16
+    picks = [ids[i] for i in np.random.RandomState(3).randint(0, n_imgs, B)]
+    idx = cache.indices(picks)
+    batched = NamedSharding(mesh, P("data"))
+    idx_dev = jax.device_put(jnp.asarray(idx), batched)
+
+    got = jax.jit(FeatureCache.lookup)(cache.table, idx_dev)
+    want = np.stack([reader.get(p).reshape(16, -1) for p in picks])
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=1e-6)
+
+    # end to end: int8 forward from the cache == forward from the stream
+    from xlxmert_tpu.serving.lxmert_int8 import (
+        answer_head_forward, apply_calibration, calibrate,
+    )
+
+    model = LxmertModel(CFG, dtype=jnp.float32)
+    head = VisualAnswerHead(CFG, num_labels=29, dtype=jnp.float32)
+    L = 12
+    r = np.random.RandomState(5)
+    tok = jnp.asarray(r.randint(1, 200, (B, L)).astype(np.int32))
+    mask = jnp.asarray(np.ones((B, L), np.float32))
+    pos = jnp.asarray(np.broadcast_to(box_position(4)[None],
+                                      (B, 16, 4)).copy())
+    feats = jnp.asarray(want)
+    params = model.init(jax.random.PRNGKey(0), tok, feats, pos,
+                        attention_mask=mask)["params"]
+    hp = head.init(jax.random.PRNGKey(1),
+                   jnp.zeros((B, CFG.hidden_size)))["params"]
+    qp = prepare_params(params, CFG)
+    hqp = prepare_answer_head(hp)
+    calib = calibrate(qp, hqp, [(tok, feats, pos, mask)], CFG)
+    sqp = apply_calibration(qp, calib)
+    shqp = apply_calibration(hqp, calib)
+
+    def from_cache(sqp, shqp, table, tok, idx, pos, mask):
+        f = FeatureCache.lookup(table, idx)
+        _, _, pooled = lxmert_forward(sqp, tok, f, pos,
+                                      attention_mask=mask,
+                                      n_heads=CFG.num_attention_heads)
+        return answer_head_forward(shqp, pooled)
+
+    def from_stream(sqp, shqp, tok, f, pos, mask):
+        _, _, pooled = lxmert_forward(sqp, tok, f, pos,
+                                      attention_mask=mask,
+                                      n_heads=CFG.num_attention_heads)
+        return answer_head_forward(shqp, pooled)
+
+    got = jax.jit(from_cache)(sqp, shqp, cache.table, tok, idx_dev, pos,
+                              mask)
+    ref = jax.jit(from_stream)(sqp, shqp, tok, feats, pos, mask)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-4)
