@@ -133,3 +133,112 @@ def test_extract_features_maskrcnn_arch(tmp_path):
                   "--batch_size", "1"])
     with h5py.File(out2) as f:
         assert f["one"]["features"][()].shape == (2, 2, 24)
+
+
+def _torchvision_resnet50_state_dict():
+    """A genuine torchvision-layout resnet50 state_dict (keys, shapes,
+    OIHW conv layout, BN running stats + num_batches_tracked), random
+    values — the released-checkpoint format the --weights path loads."""
+    import torch
+
+    r = np.random.RandomState(0)
+    sd = {}
+
+    def t(*shape):
+        return torch.from_numpy(r.randn(*shape).astype(np.float32) * 0.05)
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = t(c)
+        sd[f"{prefix}.bias"] = t(c)
+        sd[f"{prefix}.running_mean"] = t(c)
+        sd[f"{prefix}.running_var"] = torch.abs(t(c)) + 1.0
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(1)
+
+    sd["conv1.weight"] = t(64, 3, 7, 7)
+    bn("bn1", 64)
+    inplanes = 64
+    for stage, n_blocks in enumerate((3, 4, 6, 3)):
+        planes = 64 * (2 ** stage)
+        for b in range(n_blocks):
+            p = f"layer{stage + 1}.{b}"
+            sd[f"{p}.conv1.weight"] = t(planes, inplanes, 1, 1)
+            bn(f"{p}.bn1", planes)
+            sd[f"{p}.conv2.weight"] = t(planes, planes, 3, 3)
+            bn(f"{p}.bn2", planes)
+            sd[f"{p}.conv3.weight"] = t(planes * 4, planes, 1, 1)
+            bn(f"{p}.bn3", planes * 4)
+            if b == 0:
+                sd[f"{p}.downsample.0.weight"] = t(planes * 4, inplanes, 1, 1)
+                bn(f"{p}.downsample.1", planes * 4)
+            inplanes = planes * 4
+    sd["fc.weight"] = t(1000, 2048)
+    sd["fc.bias"] = t(1000)
+    return sd
+
+
+def test_torchvision_resnet_pth_conversion(tmp_path):
+    """The torchvision .pth -> flax chain (load_any_checkpoint ->
+    split_variables) must reproduce the flax resnet50 tree exactly —
+    the leg eval_fid/extract_features --weights runs on released
+    torchvision checkpoints."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.core.checkpoint import load_any_checkpoint
+    from xlxmert_tpu.core.convert import split_variables
+    from xlxmert_tpu.models.resnet import resnet50
+
+    sd = _torchvision_resnet50_state_dict()
+    path = tmp_path / "resnet50.pth"
+    torch.save(sd, str(path))
+
+    cols = split_variables(load_any_checkpoint(str(path)))
+    variables = {"params": cols["params"], "batch_stats": cols["batch_stats"]}
+
+    model = resnet50()
+    want = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    # exact tree structure + shapes, both collections
+    for col in ("params", "batch_stats"):
+        got_shapes = jax.tree.map(lambda x: tuple(x.shape), variables[col])
+        want_shapes = jax.tree.map(lambda x: tuple(x.shape), dict(want[col]))
+        assert got_shapes == want_shapes, col
+    # conv layout: OIHW -> HWIO
+    np.testing.assert_allclose(
+        variables["params"]["conv1"]["kernel"],
+        sd["conv1.weight"].numpy().transpose(2, 3, 1, 0))
+    # fc: (out,in) -> (in,out)
+    np.testing.assert_allclose(variables["params"]["fc"]["kernel"],
+                               sd["fc.weight"].numpy().T)
+
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)),
+                      return_layers=True)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    assert out["layer4"].shape == (1, 2, 2, 2048)
+
+
+def test_eval_fid_cli_with_weights(tmp_path):
+    """eval_fid --weights: the released-checkpoint loading path runs end
+    to end (previously only random-init was exercised)."""
+    import torch
+    from PIL import Image
+
+    from xlxmert_tpu.cli.eval_fid import main
+
+    torch.save(_torchvision_resnet50_state_dict(),
+               str(tmp_path / "resnet50.pth"))
+    rng = np.random.RandomState(0)
+    for name, shift in (("real", 0), ("fake", 90)):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(8):
+            arr = np.clip(rng.randint(0, 140, (64, 64, 3)) + shift,
+                          0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    fid = main(["--real_dir", str(tmp_path / "real"),
+                "--fake_dir", str(tmp_path / "fake"),
+                "--weights", str(tmp_path / "resnet50.pth"),
+                "--image_size", "64", "--batch_size", "4"])
+    assert np.isfinite(fid) and fid > 0
