@@ -25,6 +25,10 @@ def run(task: str, argv=None):
     import jax
     import jax.numpy as jnp
 
+    from xlxmert_tpu.core.config import apply_rng_impl
+
+    apply_rng_impl(cfg)
+
     from xlxmert_tpu.core.checkpoint import load_any_checkpoint, save_pytree
     from xlxmert_tpu.core.metrics import LossMeter, RunLogger
     from xlxmert_tpu.data.answer_table import AnswerTable

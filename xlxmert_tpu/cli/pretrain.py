@@ -26,6 +26,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from xlxmert_tpu.core.config import apply_rng_impl
+
+    apply_rng_impl(cfg)
+
     from xlxmert_tpu.core.checkpoint import (
         epoch_ckpt_name, load_any_checkpoint, parse_start_epoch, save_pytree,
     )

@@ -50,6 +50,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--log_step", type=int, default=100)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--rng_impl", default="rbg",
+                   choices=["rbg", "threefry2x32", "unsafe_rbg"])
     p.add_argument("--train_topk", type=int, default=-1)
     return p.parse_args(argv)
 
@@ -103,9 +105,12 @@ def main(argv=None):
         lambda_feat=ns.feat_loss_lambda,
         g_lr=ns.g_lr, d_lr=ns.d_lr, batch_size=ns.batch_size,
         epochs=ns.epochs, seed=ns.seed, output=ns.output,
-        mixed_precision=not ns.fp32,
+        mixed_precision=not ns.fp32, rng_impl=ns.rng_impl,
         n_classes=int(np.load(ns.centroids, mmap_mode="r").shape[0]))
 
+    from xlxmert_tpu.core.config import apply_rng_impl
+
+    apply_rng_impl(cfg)
     logger = RunLogger(cfg.output, cfg, enabled=jax.process_index() == 0)
 
     perceptual_vars = None

@@ -95,6 +95,14 @@ class TrainConfig(_YamlMixin):
     # precision: bf16 on TPU replaces AMP/apex (lxmert_pretrain.py:23-34)
     mixed_precision: bool = True
 
+    # PRNG implementation for the training step's random streams
+    # (dropout, on-device masking). "rbg" is measured 8-10% faster per
+    # train step than the threefry2x32 default on v5e (dropout-bit
+    # generation is VPU-bound; ablation in scripts/drive_pretrain.py
+    # --rng_impl/--no_dropout) and is statistically equivalent for
+    # dropout/masking. Use "threefry2x32" for jax-default streams.
+    rng_impl: str = "rbg"
+
     # data
     train: str = "mscoco_train,mscoco_nominival,vgnococo"
     valid: str = "mscoco_minival"
@@ -249,6 +257,7 @@ class GanConfig(_YamlMixin):
     epochs: int = 101
     seed: int = 9595
     mixed_precision: bool = True
+    rng_impl: str = "rbg"  # see TrainConfig.rng_impl
 
     # data
     data_root: str = "data"
@@ -258,3 +267,16 @@ class GanConfig(_YamlMixin):
     # io
     output: str = "snap/generator"
     load: Optional[str] = None
+
+
+def apply_rng_impl(cfg) -> None:
+    """Set jax's default PRNG implementation from cfg.rng_impl. Call
+    before the first PRNGKey is created (the training CLIs do). rbg is
+    measured 8-10% faster per train step than threefry2x32 on v5e —
+    dropout bit generation is a real cost at these model sizes
+    (ablation: scripts/drive_pretrain.py --no_dropout/--rng_impl)."""
+    impl = getattr(cfg, "rng_impl", None)
+    if impl:
+        import jax
+
+        jax.config.update("jax_default_prng_impl", impl)
