@@ -115,3 +115,24 @@ def test_qa_surgery():
     np.testing.assert_array_equal(k[:, 1], pre["answer_head"]["logit_fc_3"]["kernel"][:, 2])
     assert (k[:, 2] == 0).all() and b[2] == 0  # "pizza" not in table
     np.testing.assert_array_equal(k[:, 3], pre["answer_head"]["logit_fc_3"]["kernel"][:, 0])
+
+
+@pytest.mark.parametrize("task,num_answers", [("vqa", 9), ("nlvr2", 2)])
+def test_predict_int8_agrees(task, num_answers):
+    """--serve_int8 path: int8 prediction agrees with the fp32 path on
+    most examples and emits the same answer format."""
+    eng = make_engine(task, num_answers)
+    state = eng.create_state(jax.random.PRNGKey(0))
+    label2ans = None if task == "nlvr2" else [f"ans{i}" for i in range(9)]
+
+    def batches():
+        for s in range(2):
+            b = make_batch(eng.cfg, task, seed=s)
+            b["question_ids"] = [f"q{s}_{i}" for i in range(16)]
+            yield b
+
+    ref = eng.predict(state.params, batches(), label2ans)
+    got = eng.predict(state.params, batches(), label2ans, int8=True)
+    assert set(got) == set(ref) and len(got) == 32
+    agree = np.mean([got[k] == ref[k] for k in ref])
+    assert agree >= 0.8, agree

@@ -82,6 +82,9 @@ def base_parser() -> argparse.ArgumentParser:
                    help="accepted for compat; bf16 is already the default")
     p.add_argument("--fp32", action="store_true",
                    help="disable bf16 compute (parity/debugging)")
+    p.add_argument("--serve_int8", action="store_true",
+                   help="run eval/test prediction through the int8 "
+                   "serving engine (finetune CLIs)")
     p.add_argument("--rng_impl", default=None,
                    choices=["rbg", "threefry2x32", "unsafe_rbg"],
                    help="jax PRNG for dropout/masking streams "

@@ -99,7 +99,8 @@ def run(task: str, argv=None):
 
     def evaluate(params, dump_path=None):
         batches = eval_ds.batches(cfg.batch_size, test=test_mode)
-        quesid2ans = eng.predict(params, batches, label2ans)
+        quesid2ans = eng.predict(params, batches, label2ans,
+                                 int8=cfg.serve_int8)
         if dump_path:
             eval_ds.evaluator.dump_result(quesid2ans, dump_path)
             logger.info(f"dumped predictions to {dump_path}")

@@ -185,6 +185,9 @@ class FinetuneConfig(TrainConfig):
     """VQA/GQA/NLVR2 finetuning (tasks/{vqa,gqa,nlvr2}.py __main__ defaults)."""
 
     task: str = "vqa"
+    # serve eval/test prediction through the static-calibrated int8
+    # engine (serving/lxmert_int8.py) — opt-in speed for dump runs
+    serve_int8: bool = False
     lr: float = 5e-5
     epochs: int = 10
     batch_size: int = 32

@@ -159,19 +159,71 @@ class FinetuneEngine:
     def place(self, batch):
         return shard_batch(batch, self.mesh)
 
+    def _make_int8_predict(self, params, calib_batch):
+        """Build a jitted int8 predict step (serving/lxmert_int8.py),
+        statically calibrated on `calib_batch`. Opt-in for eval/test
+        dumps (--serve_int8): answer agreement with the fp32 path is
+        >=99% on held-out batches (tests/test_int8_serving.py); the
+        measured win is +15-25% over the bf16 forward."""
+        from xlxmert_tpu.serving import lxmert_int8 as engine
+
+        head_key = "logit_fc" if self.task == "nlvr2" else "answer_head"
+        host = jax.tree.map(np.asarray, params)
+        qp = engine.prepare_params(host["bert"], self.model_cfg)
+        hqp = engine.prepare_answer_head(host[head_key])
+        n_heads = self.model_cfg.num_attention_heads
+
+        def unpack(batch):
+            ids = batch["word_ids"]
+            mask = (ids > 0).astype(jnp.float32)
+            return ids, batch["vis_feats"], batch["boxes"], mask
+
+        if self.task == "nlvr2":
+            def fwd(qp_, hqp_, ids, feats, pos, mask):
+                return engine.nlvr2_forward(qp_, hqp_, ids, feats, pos,
+                                            attention_mask=mask,
+                                            n_heads=n_heads)
+        else:
+            def fwd(qp_, hqp_, ids, feats, pos, mask):
+                _, _, pooled = engine.lxmert_forward(
+                    qp_, ids, feats, pos, attention_mask=mask,
+                    n_heads=n_heads)
+                return engine.answer_head_forward(hqp_, pooled)
+
+        calib = engine.calibrate_forward(fwd, (qp, hqp),
+                                         [unpack(calib_batch)])
+        sqp = engine.apply_calibration(qp, calib)
+        shqp = engine.apply_calibration(hqp, calib)
+        step = jax.jit(lambda a, b, i, f, p, m: jnp.argmax(
+            fwd(a, b, i, f, p, m), axis=-1))
+
+        def run(batch):
+            ids, feats, pos, mask = unpack(self.place(batch))
+            return step(sqp, shqp, ids, feats, pos, mask)
+
+        return run
+
     # -- loops ----------------------------------------------------------------
     def predict(self, params, batches: Iterable[Dict[str, Any]],
-                label2ans=None) -> Dict[Any, Any]:
+                label2ans=None, int8: bool = False) -> Dict[Any, Any]:
         """Run prediction over host batches; returns quesid->answer
         (mapped through label2ans when given, else raw label ids).
-        Mirrors Trainer.predict (vqa.py:259-295)."""
-        step = self.predict_step()
+        Mirrors Trainer.predict (vqa.py:259-295). int8=True serves
+        through the static-calibrated int8 engine (calibrated on the
+        first batch)."""
+        step = None if int8 else self.predict_step()
+        int8_step = None
         quesid2ans: Dict[Any, Any] = {}
         for batch in batches:
             qids = batch.pop("question_ids")
             n_valid = batch.pop("n_valid", len(qids))
-            preds, _ = step(params, self.place(batch))
-            preds = np.asarray(preds)
+            if int8:
+                if int8_step is None:
+                    int8_step = self._make_int8_predict(params, batch)
+                preds = np.asarray(int8_step(batch))
+            else:
+                preds, _ = step(params, self.place(batch))
+                preds = np.asarray(preds)
             for i, qid in enumerate(qids[:n_valid]):
                 p = int(preds[i])
                 quesid2ans[qid] = label2ans[p] if label2ans is not None else p
