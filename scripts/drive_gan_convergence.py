@@ -34,6 +34,10 @@ def main():
     p.add_argument("--norm_type", default="spade_in",
                    choices=["spade_in", "spade_bn"])
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--chain", type=int, default=0,
+                   help="measure K chained (D,G) pairs in one jit "
+                   "(true device rate; cancels tunnel round-trip) and "
+                   "exit without the convergence run")
     args = p.parse_args()
 
     import jax
@@ -95,8 +99,31 @@ def main():
             (real[i:i + B] for i in range(0, args.n_data, B)),
             (fake[i:i + B] for i in range(0, args.n_data, B)), feat_fn)
 
-    d_step, g_step = eng.d_step(), eng.g_step()
     key = jax.random.PRNGKey(1)
+
+    if args.chain:
+        K = args.chain
+        sel = rng.randint(0, args.n_data, args.batch)
+        batch = eng.place({"image": real_tanh[sel], "code": codes[sel],
+                           "cluster_id": ids[sel]})
+        fn = eng.chained_gd_step(K)
+        state, dl, gl = fn(state, batch, centroids_j, key)  # compile
+        float(np.asarray(dl))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            state, dl, gl = fn(state, batch, centroids_j, key)
+            float(np.asarray(dl))
+            best = min(best, time.time() - t0)
+        per_pair = best / K
+        print(f"chained x{K} (D+G pairs, {args.target_size}px, "
+              f"B={args.batch}): {per_pair*1e3:7.1f} ms/pair "
+              f"{args.batch/per_pair:8.1f} imgs/s/chip "
+              f"(d {float(np.asarray(dl)):.3f} g {float(np.asarray(gl)):.3f})",
+              flush=True)
+        return
+
+    d_step, g_step = eng.d_step(), eng.g_step()
     fids = []
     t0 = time.time()
     for step in range(args.steps + 1):

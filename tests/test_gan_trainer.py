@@ -140,3 +140,47 @@ def test_spade_bn_trains_with_synced_stats():
     # eval path consumes the running stats through render()
     img = eng.render()(state.params_g, state.sn_g, code, state.stats_g)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_chained_gd_equals_sequential():
+    """chained_gd_step(k) must be numerically identical to k sequential
+    (d_step, g_step) pairs (same rng folding; donation-safe)."""
+    cfg = tiny_cfg()
+    batch_np, centroids_np = make_batch(cfg)
+    centroids = jnp.asarray(centroids_np)
+    rng = jax.random.PRNGKey(3)
+    K = 3
+
+    eng1 = GanEngine(cfg)
+    s1 = eng1.create_state(jax.random.PRNGKey(0), centroids)
+    b1 = eng1.place(batch_np)
+    d, g = eng1.d_step(), eng1.g_step()
+    d_losses, g_losses = [], []
+    for _ in range(K):
+        s1, dm = d(s1, b1, centroids, rng)
+        s1, gm = g(s1, b1, centroids, rng)
+        d_losses.append(float(dm["d_total"]))
+        g_losses.append(float(gm["g_total"]))
+
+    eng2 = GanEngine(cfg)
+    s2 = eng2.create_state(jax.random.PRNGKey(0), centroids)
+    b2 = eng2.place(batch_np)
+    s2, dl, gl = eng2.chained_gd_step(K)(s2, b2, centroids, rng)
+
+    np.testing.assert_allclose(float(dl), np.mean(d_losses), rtol=1e-5)
+    np.testing.assert_allclose(float(gl), np.mean(g_losses), rtol=1e-5)
+    # params: Adam(beta1=0) is sign-SGD-like (update = lr*g/(|g|+eps)),
+    # so ULP-level gradient differences between the scan and eager
+    # compilations flip near-zero coordinates by up to ~2*lr (g_lr=4e-4
+    # here; measured bound isolated to a single g-step, sn/batch_stats
+    # bit-identical). Pin to the update-scale bound per step.
+    bound = 2 * cfg.g_lr * K
+    for a, b in zip(jax.tree.leaves(s1.params_g),
+                    jax.tree.leaves(s2.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=bound)
+    # sn power-iteration state (unit vectors; downstream of the param
+    # noise above, so close-not-exact across k steps)
+    for a, b in zip(jax.tree.leaves(s1.sn_g), jax.tree.leaves(s2.sn_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-2)

@@ -188,6 +188,7 @@ class GanEngine:
                 stats_g=g_muts.get("batch_stats", state.stats_g))
             return new_state, metrics
 
+        self._raw_g_step = step
         self._g_step = jax.jit(step, donate_argnums=(0,))
         return self._g_step
 
@@ -242,8 +243,34 @@ class GanEngine:
                 stats_g=g_muts.get("batch_stats", state.stats_g))
             return new_state, metrics
 
+        self._raw_d_step = step
         self._d_step = jax.jit(step, donate_argnums=(0,))
         return self._d_step
+
+    def chained_gd_step(self, k: int):
+        """k (D-step, G-step) pairs folded into ONE jitted lax.scan —
+        the honest device-rate measurement through the axon tunnel and
+        the production shape for metric-light phases (mirrors
+        PretrainEngine.chained_train_step). Within each pair the rng
+        folding matches sequential d_step();g_step() calls exactly
+        (d does not advance state.step; g does).
+
+        Returns fn(state, batch, centroids, rng)
+          -> (state, mean_d_total, mean_g_total)."""
+        self.g_step()
+        self.d_step()
+        g, d = self._raw_g_step, self._raw_d_step
+
+        def many(state, batch, centroids, rng):
+            def body(s, _):
+                s, dm = d(s, batch, centroids, rng)
+                s, gm = g(s, batch, centroids, rng)
+                return s, (dm["d_total"], gm["g_total"])
+
+            state, (dl, gl) = jax.lax.scan(body, state, None, length=k)
+            return state, dl.mean(), gl.mean()
+
+        return jax.jit(many, donate_argnums=(0,))
 
     def render(self):
         """Jitted inference rendering: code grid -> image in [0,1]
