@@ -105,9 +105,16 @@ def measure_vqa(cfg):
         return ids, mask, feats, pos
 
     ids, mask, feats, pos = inputs(256)
-    params = jax.jit(lambda r: model.init(
-        r, ids, feats, pos, attention_mask=mask)["params"])(rng)
-    head_params = head.init(rng, jnp.zeros((8, cfg.hidden_size)))["params"]
+    # init on the host CPU backend: quantization needs the params as
+    # numpy, and fetching ~800 MB from the device through the axon
+    # tunnel costs ~10+ min; the int8/bf16 trees upload (4x/2x smaller)
+    # on first use instead
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = jax.jit(lambda r: model.init(
+            r, ids[:8], feats[:8], pos[:8],
+            attention_mask=mask[:8])["params"])(rng)
+        head_params = head.init(rng,
+                                jnp.zeros((8, cfg.hidden_size)))["params"]
 
     # int8 static path: quantize + one-batch jitted calibration
     qp = engine.prepare_params(jax.tree.map(np.asarray, params), cfg)
@@ -136,8 +143,19 @@ def measure_vqa(cfg):
         c, _ = jax.lax.scan(body, seed, stacked)
         return c
 
-    bf16_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    bf16_head = jax.tree.map(lambda x: x.astype(jnp.bfloat16), head_params)
+    # pin the bf16 trees to the TPU: params are CPU-committed after the
+    # host-side init, and committed arrays re-transfer on EVERY jit
+    # call. Cast to bf16 on the host first (halves the one-time upload).
+    dev = jax.devices()[0]
+
+    def to_dev_bf16(tree):
+        return jax.device_put(
+            jax.tree.map(
+                lambda x: np.asarray(x).astype(np.dtype(jnp.bfloat16)),
+                tree), dev)
+
+    bf16_params = to_dev_bf16(params)
+    bf16_head = to_dev_bf16(head_params)
 
     @jax.jit
     def run_bf16(params, head_params, ids, pos, mask, stacked, seed):
@@ -213,23 +231,45 @@ def measure_sampling(cfg):
     rng = jax.random.PRNGKey(0)
     ids = jnp.ones((B, L), jnp.int32)
     mask = jnp.ones((B, L), jnp.float32)
-    centroids = (jax.random.normal(
-        rng, (N_CODES, cfg.visual_feat_dim), jnp.float32) * 0.1)
+    centroids_np = (np.random.RandomState(0)
+                    .randn(N_CODES, cfg.visual_feat_dim)
+                    .astype(np.float32) * 0.1)
+    centroids = jnp.asarray(centroids_np)
 
-    params = jax.jit(lambda r: model.init(
-        r, ids, jnp.zeros((B, GRID * GRID, cfg.visual_feat_dim)),
-        jnp.zeros((B, GRID * GRID, 4)), attention_mask=mask,
-        centroids=centroids, heads=("obj",))["params"])(rng)
-    g_vars = jax.jit(lambda r: gen.init(
-        {"params": r, "noise": r},
-        jnp.zeros((B, GRID, GRID, cfg.visual_feat_dim)), train=False))(rng)
+    # host-CPU init (see measure_vqa: avoids the slow device->host fetch
+    # for quantization), then explicit device placement for the bf16
+    # path so nothing re-transfers per call
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = jax.jit(lambda r: model.init(
+            r, jnp.ones((8, L), jnp.int32),
+            jnp.zeros((8, GRID * GRID, cfg.visual_feat_dim)),
+            jnp.zeros((8, GRID * GRID, 4)),
+            attention_mask=jnp.ones((8, L), jnp.float32),
+            centroids=jnp.asarray(centroids_np),
+            heads=("obj",))["params"])(rng)
+        g_vars = jax.jit(lambda r: gen.init(
+            {"params": r, "noise": r},
+            jnp.zeros((8, GRID, GRID, cfg.visual_feat_dim)),
+            train=False))(rng)
 
     sampler = make_nar_sampler(model, N_STEPS, GRID)
-    g_params, g_sn = g_vars["params"], g_vars.get("sn", {})
 
     import numpy as _np
     np_params = jax.tree.map(_np.asarray, dict(params))
     sp = prepare_sampler_params(np_params, cfg, _np.asarray(centroids))
+    dev = jax.devices()[0]
+
+    def to_dev_bf16(tree):
+        return jax.device_put(
+            jax.tree.map(
+                lambda x: _np.asarray(x).astype(_np.dtype(jnp.bfloat16))
+                if _np.asarray(x).dtype in (_np.float32, _np.float64)
+                else _np.asarray(x), tree), dev)
+
+    params = to_dev_bf16(dict(params))
+    g_params = to_dev_bf16(g_vars["params"])
+    g_sn = jax.device_put(jax.tree.map(_np.asarray, g_vars.get("sn", {})),
+                          dev)
     calib = calibrate_sampler(sp, centroids, ids[:8], mask[:8], cfg,
                               grid_size=GRID)
     ssp = apply_calibration(sp, calib)
@@ -282,12 +322,60 @@ def measure_sampling(cfg):
     return sps, sps_bf16, path
 
 
+def measure_pretrain(cfg):
+    """One chained full pretrain step (vis_mask task, B=256, rbg PRNG —
+    the production default) via PretrainEngine.chained_train_step.
+    Returns ex/s/chip (measured 1,375-1,561 across the three tasks on
+    v5e; scripts/drive_pretrain.py has the full ablation)."""
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.core.config import TrainConfig
+    from xlxmert_tpu.tasks.pretrain import PretrainEngine
+
+    tcfg = TrainConfig(batch_size=256)
+    eng = PretrainEngine(tcfg, model_cfg=cfg, total_steps=1000)
+    state = eng.create_state(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    r = np.random.RandomState(2)
+    B, L, V = tcfg.batch_size, tcfg.max_text_length, tcfg.n_grids
+    centroids = jnp.asarray(
+        r.randn(cfg.num_clusters, cfg.visual_feat_dim)
+        .astype(np.float32) * 0.05)
+    batch = eng.place({
+        "word_id": np.concatenate(
+            [np.full((B, 1), 101, np.int32),
+             r.randint(1, cfg.vocab_size, (B, L - 1)).astype(np.int32)],
+            axis=1),
+        "other_word_id": r.randint(1, cfg.vocab_size,
+                                   (B, L)).astype(np.int32),
+        "matched_label": r.randint(0, 2, (B,)).astype(np.int32),
+        "cluster_id": r.randint(0, cfg.num_clusters,
+                                (B, V)).astype(np.int32),
+    })
+    K = 8
+    fn = eng.chained_train_step("vis_mask", K)
+    state, loss = fn(state, batch, rng, centroids)  # compile + warm
+    float(np.asarray(loss))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        state, loss = fn(state, batch, rng, centroids)
+        float(np.asarray(loss))
+        best = min(best, time.time() - t0)
+    return B / (best / K)
+
+
 def main():
     from xlxmert_tpu.core.config import LxmertConfig
 
     cfg = LxmertConfig()
     qps, qps_bf16, path = measure_vqa(cfg)
     samples_per_sec, sps_bf16, s_path = measure_sampling(cfg)
+    train_ex_s = measure_pretrain(cfg)
 
     fps = flops_per_sample(cfg)
     tflops = qps * fps / 1e12
@@ -306,6 +394,7 @@ def main():
             "sampling_bf16_samples_per_sec": round(sps_bf16, 1),
             "sampling_vs_baseline": round(
                 samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3),
+            "pretrain_examples_per_sec": round(train_ex_s, 1),
         },
     }))
 

@@ -80,28 +80,10 @@ def main():
     centroids_j = jnp.asarray(centroids)
     state = eng.create_state(jax.random.PRNGKey(0), centroids_j)
     print(f"engine ready (norm={args.norm_type})", flush=True)
-
-    fid_vars = resnet50().init(jax.random.PRNGKey(7),
-                               jnp.zeros((1, 64, 64, 3)))
-    feat_fn = resnet_feature_fn(fid_vars)
-    render = eng.render()
-
-    def fid_now():
-        fakes = []
-        for s in range(0, args.n_data, args.batch):
-            code = jnp.asarray(codes[s:s + args.batch])
-            img = render(state.params_g, state.sn_g, code,
-                         state.stats_g or None)
-            fakes.append(np.asarray(img, np.float32))
-        fake = np.concatenate(fakes)
-        B = args.batch
-        return compute_fid(
-            (real[i:i + B] for i in range(0, args.n_data, B)),
-            (fake[i:i + B] for i in range(0, args.n_data, B)), feat_fn)
-
     key = jax.random.PRNGKey(1)
 
     if args.chain:
+        # throughput-only mode: skip the FID ResNet init/compile
         K = args.chain
         sel = rng.randint(0, args.n_data, args.batch)
         batch = eng.place({"image": real_tanh[sel], "code": codes[sel],
@@ -122,6 +104,24 @@ def main():
               f"(d {float(np.asarray(dl)):.3f} g {float(np.asarray(gl)):.3f})",
               flush=True)
         return
+
+    fid_vars = resnet50().init(jax.random.PRNGKey(7),
+                               jnp.zeros((1, 64, 64, 3)))
+    feat_fn = resnet_feature_fn(fid_vars)
+    render = eng.render()
+
+    def fid_now():
+        fakes = []
+        for s in range(0, args.n_data, args.batch):
+            code = jnp.asarray(codes[s:s + args.batch])
+            img = render(state.params_g, state.sn_g, code,
+                         state.stats_g or None)
+            fakes.append(np.asarray(img, np.float32))
+        fake = np.concatenate(fakes)
+        B = args.batch
+        return compute_fid(
+            (real[i:i + B] for i in range(0, args.n_data, B)),
+            (fake[i:i + B] for i in range(0, args.n_data, B)), feat_fn)
 
     d_step, g_step = eng.d_step(), eng.g_step()
     fids = []

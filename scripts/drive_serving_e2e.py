@@ -132,6 +132,9 @@ def main():
     shqp = engine.apply_calibration(hqp, calib)
     mark("calibration done")
 
+    # like engine.make_vqa_serving_fn but with the argmax fused in-jit:
+    # fetching full (B, 3129) logit tensors through the ~12 MB/s tunnel
+    # would dominate the measurement (~3 MB/batch)
     @jax.jit
     def step(sqp, shqp, ids, feats, pos, mask):
         _, _, pooled = engine.lxmert_forward(

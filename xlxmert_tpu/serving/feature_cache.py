@@ -59,7 +59,11 @@ class FeatureCache:
         n_pad = 0
         if mesh is not None:
             n_pad = (-n) % mesh.shape[shard_axis]
-        host = np.empty((n + n_pad, v, first.shape[-1]), np.float32)
+        # staged directly in the target dtype (np.dtype(jnp.bfloat16) is
+        # valid via ml_dtypes): rows cast on assignment, so peak host
+        # memory is one catalog, not fp32 + cast copies (~30 GB vs
+        # ~10 GB at COCO-val scale)
+        host = np.empty((n + n_pad, v, first.shape[-1]), np.dtype(dtype))
         host[0] = first.reshape(v, -1)
         for j, i in enumerate(img_ids[1:], start=1):
             host[j] = np.asarray(reader.get(i), np.float32).reshape(v, -1)
@@ -68,11 +72,9 @@ class FeatureCache:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sharding = NamedSharding(mesh, P(shard_axis))
-            # np.dtype(jnp.bfloat16) is valid via ml_dtypes
-            table = jax.device_put(host.astype(np.dtype(dtype)), sharding)
+            table = jax.device_put(host, NamedSharding(mesh, P(shard_axis)))
         else:
-            table = jnp.asarray(host, dtype)
+            table = jnp.asarray(host)
         return cls(table, {i: j for j, i in enumerate(img_ids)})
 
     def indices(self, img_ids: Sequence[str]) -> np.ndarray:

@@ -163,8 +163,10 @@ class FinetuneEngine:
         """Build a jitted int8 predict step (serving/lxmert_int8.py),
         statically calibrated on `calib_batch`. Opt-in for eval/test
         dumps (--serve_int8): answer agreement with the fp32 path is
-        >=99% on held-out batches (tests/test_int8_serving.py); the
-        measured win is +15-25% over the bf16 forward."""
+        pinned >=0.8 in tests on tiny random weights (near-tie margins)
+        and measured 1.00 on-chip (vqa + nlvr2); the measured win is
+        +15-25% over the bf16 forward. Validate agreement on your real
+        checkpoint before accuracy-sensitive submissions."""
         from xlxmert_tpu.serving import lxmert_int8 as engine
 
         head_key = "logit_fc" if self.task == "nlvr2" else "answer_head"
