@@ -169,3 +169,35 @@ def test_chained_steps_match_sequential():
                     jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_chained_per_step_batches_match_sequential():
+    """per_step_batches=True: k chained steps on k DISTINCT batches ==
+    k sequential train_step calls on those batches."""
+    eng = make_engine()
+    centroids = jnp.asarray(
+        np.random.RandomState(1).randn(24, 16).astype(np.float32))
+    host_batches = [make_batch(eng.cfg, rng_seed=s) for s in range(3)]
+    rng = jax.random.PRNGKey(7)
+
+    state_a = eng.create_state(jax.random.PRNGKey(0))
+    losses = []
+    for hb in host_batches:
+        state_a, m = eng.train_step("word_mask")(
+            state_a, eng.place(hb), rng, centroids)
+        losses.append(float(m["total_loss"]))
+
+    state_b = eng.create_state(jax.random.PRNGKey(0))
+    stacked = eng.place_stacked(host_batches)
+    assert jax.tree.leaves(stacked)[0].shape[0] == 3
+    state_b, mean_loss = eng.chained_train_step(
+        "word_mask", 3, per_step_batches=True)(state_b, stacked, rng,
+                                               centroids)
+
+    assert int(np.asarray(state_b.step)) == 3
+    np.testing.assert_allclose(float(mean_loss), np.mean(losses),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

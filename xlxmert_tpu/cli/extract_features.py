@@ -63,15 +63,25 @@ def run_maskrcnn(ns):
                    if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
     print(f"{len(paths)} images")
 
-    # fixed canvas: one compiled program for the whole run
+    # fixed canvas: one compiled program for the whole run. The FPN
+    # top-down pathway needs /32-divisible inputs (stride alignment —
+    # same pad32 as extract_bbox_features.py); detectron_resize_shape
+    # already snaps, but an explicit --image_size may not.
+    pad32 = lambda v: (v + 31) // 32 * 32  # noqa: E731
     if imsize:
+        if ns.arch == "maskrcnn" and imsize % 32:
+            snapped = pad32(imsize)
+            print(f"--image_size {imsize} is not /32; padding canvas "
+                  f"to {snapped} (FPN stride alignment)")
+            imsize = snapped
         canvas_hw = (imsize, imsize)
     else:
         shapes = []
         for p in paths:
             with Image.open(p) as im:
                 shapes.append(detectron_resize_shape(im.height, im.width))
-        canvas_hw = (max(s[0] for s in shapes), max(s[1] for s in shapes))
+        canvas_hw = (pad32(max(s[0] for s in shapes)),
+                     pad32(max(s[1] for s in shapes)))
     print(f"canvas {canvas_hw}")
 
     if ns.weights:

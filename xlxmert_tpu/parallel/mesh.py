@@ -86,7 +86,12 @@ def shard_batch(batch, mesh: Mesh, process_local: Optional[bool] = None):
 
     if process_local:
         n_proc = jax.process_count()
-        local_devices = max(mesh.shape["data"] // n_proc, 1)
+        if mesh.shape["data"] % n_proc:
+            raise ValueError(
+                f"data axis ({mesh.shape['data']} devices) must be "
+                f"divisible by the process count ({n_proc}) so each host "
+                f"owns an equal device slice")
+        local_devices = mesh.shape["data"] // n_proc
         if leaves and leaves[0].shape[0] % local_devices:
             raise ValueError(
                 f"per-host batch size {leaves[0].shape[0]} must be divisible "

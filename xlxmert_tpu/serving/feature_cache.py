@@ -51,7 +51,12 @@ class FeatureCache:
         With `mesh`, the image axis is sharded over `shard_axis` so each
         chip holds 1/N of the catalog (pad rows replicate the last image
         if N is not divisible). Without, the table lives on the default
-        device."""
+        device.
+
+        NOTE: build at catalog scale with a read-through reader
+        (GridFeatureReader(..., cache=None)) — a cache="ram" reader
+        would retain every fp32 row alongside the staged table,
+        tripling peak host memory."""
         img_ids = [str(i) for i in img_ids]
         first = np.asarray(reader.get(img_ids[0]), np.float32)
         v = first.shape[0] * first.shape[1]

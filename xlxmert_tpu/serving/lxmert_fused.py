@@ -84,7 +84,7 @@ def prepare_fused(sqp: Dict, cfg: LxmertConfig) -> Dict:
     return fp
 
 
-def _run_block(ctx, x, blk, n_heads, block_rows):
+def _run_block(ctx, x, blk, block_rows):
     return fused_block(
         ctx, x, blk["out"], blk["ln1"]["scale"], blk["ln1"]["bias"],
         blk["w1"], blk["w2"], blk["ln2"]["scale"], blk["ln2"]["bias"],
@@ -154,10 +154,10 @@ def lxmert_forward_fused(fp: Dict, input_ids, visual_feats, visual_pos,
             xb["cross_ln"]["bias"], tail_w=xb["visn_self_qkv"],
             has_ffn=False, block_rows=block_rows)
         ctx = _attn(sq_l, lang_bias, n_heads)
-        out_l = _run_block(ctx, new_lang, xb["lang_self"], n_heads,
+        out_l = _run_block(ctx, new_lang, xb["lang_self"],
                            block_rows)
         ctx = _attn(sq_v, visn_bias, n_heads)
-        out_v = _run_block(ctx, new_visn, xb["visn_self"], n_heads,
+        out_v = _run_block(ctx, new_visn, xb["visn_self"],
                            block_rows)
         if xb["lang_self"]["tail"] is not None:
             (lang, lang_qkv_x), (visn, visn_qkv_x) = out_l, out_v

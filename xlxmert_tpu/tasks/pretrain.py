@@ -257,13 +257,22 @@ class PretrainEngine:
             self._train_steps[task] = self._make_step(task, train=True)
         return self._train_steps[task]
 
-    def chained_train_step(self, task: str, k: int):
+    def chained_train_step(self, task: str, k: int,
+                           per_step_batches: bool = False):
         """K train steps chained in ONE jitted lax.scan — the per-step
-        host round-trip (dispatch + metric fetch) amortizes to 1/k. This
-        is both the honest device-rate measurement through the axon
-        tunnel (scripts/drive_pretrain.py --chain) and the production
-        shape for metric-light phases: fetch metrics every k steps
-        instead of every step.
+        host round-trip (dispatch + metric fetch) amortizes to 1/k.
+
+        per_step_batches=False: all k steps train on the SAME batch
+        (only the rng stream differs per step). This is the honest
+        device-rate measurement through the axon tunnel
+        (scripts/drive_pretrain.py --chain) — it is NOT a substitute
+        for k distinct data batches.
+
+        per_step_batches=True: the production shape for metric-light
+        phases — batch leaves are stacked to (k, B, ...) (use
+        `place_stacked`) and the scan consumes one slice per step, so
+        semantics equal k sequential train_step calls on k distinct
+        batches with one dispatch + one metric fetch.
 
         Returns fn(state, batch, rng, centroids)
           -> (state, mean_total_loss over the k steps)."""
@@ -271,18 +280,32 @@ class PretrainEngine:
         step = self._raw_train_steps[task]
 
         def many(state, batch, rng, centroids):
-            def body(s, _):
-                # the raw step folds rng by state.step, so each chained
-                # step gets a distinct stream and k chained steps are
-                # numerically IDENTICAL to k sequential train_step calls
-                # (pinned in tests/test_pretrain_engine.py)
-                s2, m = step(s, batch, rng, centroids)
+            # the raw step folds rng by state.step, so each chained
+            # step gets a distinct stream and k chained steps are
+            # numerically IDENTICAL to k sequential train_step calls
+            # (pinned in tests/test_pretrain_engine.py)
+            def body(s, b):
+                s2, m = step(s, batch if b is None else b, rng, centroids)
                 return s2, m["total_loss"]
 
-            state, losses = jax.lax.scan(body, state, None, length=k)
+            if per_step_batches:
+                state, losses = jax.lax.scan(body, state, batch)
+            else:
+                state, losses = jax.lax.scan(body, state, None, length=k)
             return state, losses.mean()
 
         return jax.jit(many, donate_argnums=(0,))
+
+    def place_stacked(self, batches):
+        """Stack k host batches (list of dicts) to (k, B, ...) leaves,
+        sharded over the data axis on dim 1 — the input shape for
+        chained_train_step(..., per_step_batches=True)."""
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
 
     def eval_step(self, task: str):
         if task not in self._eval_steps:

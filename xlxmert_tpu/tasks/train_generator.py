@@ -249,11 +249,12 @@ class GanEngine:
 
     def chained_gd_step(self, k: int):
         """k (D-step, G-step) pairs folded into ONE jitted lax.scan —
-        the honest device-rate measurement through the axon tunnel and
-        the production shape for metric-light phases (mirrors
-        PretrainEngine.chained_train_step). Within each pair the rng
-        folding matches sequential d_step();g_step() calls exactly
-        (d does not advance state.step; g does).
+        the honest device-rate measurement through the axon tunnel
+        (mirrors PretrainEngine.chained_train_step). NOTE: all k pairs
+        train on the SAME batch (only rng/SN state evolve) — use it for
+        measurement, not as a drop-in training loop. Within each pair
+        the rng folding matches sequential d_step();g_step() calls
+        exactly (d does not advance state.step; g does).
 
         Returns fn(state, batch, centroids, rng)
           -> (state, mean_d_total, mean_g_total)."""
