@@ -155,6 +155,20 @@ def test_step4_vqa_finetune_and_test(world):
     assert len(preds) == 8
     assert all(p["answer"] in ("dog", "cat", "red") for p in preds)
 
+    # --serve_int8: the int8 engine serves the same dump contract
+    main(["--test", "minival", "--batchSize", "8", "--serve_int8",
+          "--data_root", str(world), "--vocab", str(world / "vocab.txt"),
+          "--model_config", str(world / "model.yaml"),
+          "--grid_size", str(GRID),
+          "--load", str(world / "snap_vqa" / "BEST.msgpack"),
+          "--output", str(world / "snap_vqa"), "--fp32"])
+    preds_i8 = json.loads((world / "snap_vqa" /
+                           "vqa_minival_predict.json").read_text())
+    assert len(preds_i8) == 8
+    agree = np.mean([a["answer"] == b["answer"]
+                     for a, b in zip(preds, preds_i8)])
+    assert agree >= 0.75, agree
+
 
 def test_step5_sample_images(world):
     from xlxmert_tpu.cli.sample_images import main
