@@ -73,7 +73,7 @@ def flops_per_sample(cfg, L=20, V=64, n_answers=3129):
     return total
 
 
-def measure_vqa(cfg):
+def measure_vqa(cfg, Bs=(256, 512), verbose=False):
     import jax
     import jax.numpy as jnp
 
@@ -85,7 +85,8 @@ def measure_vqa(cfg):
     serving_mode(True)
     # Batch is self-tuned: B=256 vs 512 flip rank across runs through
     # the tunnel (256: 9.6-9.8k, 512: 9.0-10.5k q/s measured), so both
-    # are timed and the best per-run wins. B=1024 always loses (7.8k).
+    # are timed and the best per-run wins. The rest of the sweep loses:
+    # 640: 7.7k, 768: 8.0k, 1024: 7.8k q/s (measured round 2).
     # The whole-block fused Pallas path measured slower at every block
     # size (ops/fused_block.py docstring) and is not a candidate.
     L, V = 20, 64
@@ -190,13 +191,15 @@ def measure_vqa(cfg):
         return B / per_batch
 
     qps_int8, qps_bf16 = 0.0, 0.0
-    for B in (256, 512):
+    for B in Bs:
         ids, mask, _, pos = inputs(B)
-        qps_int8 = max(qps_int8,
-                       timed(run_int8, (sqp, shqp, ids, pos, mask), B))
-        qps_bf16 = max(qps_bf16,
-                       timed(run_bf16,
-                             (bf16_params, bf16_head, ids, pos, mask), B))
+        qi = timed(run_int8, (sqp, shqp, ids, pos, mask), B)
+        qb = timed(run_bf16, (bf16_params, bf16_head, ids, pos, mask), B)
+        if verbose:
+            print(f"B={B}: int8 {qi:8.1f} q/s, bf16 {qb:8.1f} q/s",
+                  flush=True)
+        qps_int8 = max(qps_int8, qi)
+        qps_bf16 = max(qps_bf16, qb)
     path = "int8_static"
     qps = qps_int8
     if qps_bf16 > qps_int8:  # safety: never report a regression path
