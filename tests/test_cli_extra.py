@@ -242,3 +242,70 @@ def test_eval_fid_cli_with_weights(tmp_path):
                 "--weights", str(tmp_path / "resnet50.pth"),
                 "--image_size", "64", "--batch_size", "4"])
     assert np.isfinite(fid) and fid > 0
+
+
+def test_serve_cli(tmp_path):
+    """cli/serve: checkpoint + h5 -> HBM feature cache -> answers jsonl,
+    int8 and bf16 paths agree on the dump contract."""
+    import h5py
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.cli.serve import main as serve_main
+    from xlxmert_tpu.core.checkpoint import save_pytree
+    from xlxmert_tpu.core.config import LxmertConfig
+    from xlxmert_tpu.models.task_heads import VQAModel
+
+    cfg = LxmertConfig(vocab_size=30, hidden_size=32,
+                       num_attention_heads=4, intermediate_size=64,
+                       l_layers=1, x_layers=1, r_layers=1,
+                       visual_feat_dim=16, num_clusters=0)
+    (tmp_path / "model.yaml").write_text("")  # placeholder
+    cfg.save(str(tmp_path / "model.yaml"))
+
+    rng = np.random.RandomState(0)
+    with h5py.File(tmp_path / "grid2.h5", "w") as f:
+        for i in range(6):
+            f.create_group(f"img_{i}").create_dataset(
+                "features",
+                data=rng.randn(2, 2, 16).astype(np.float32) * 0.3)
+
+    words = ["what", "is", "the", "dog", "cat", "red", "color"]
+    with open(tmp_path / "vocab.txt", "w") as f:
+        for t in ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words:
+            f.write(t + "\n")
+    answers = ["yes", "no", "maybe"]
+    (tmp_path / "label2ans.json").write_text(json.dumps(answers))
+
+    qs = [{"question_id": i, "img_id": f"img_{i % 6}",
+           "sent": " ".join(rng.choice(words, 4))} for i in range(10)]
+    with open(tmp_path / "qs.jsonl", "w") as f:
+        for q in qs:
+            f.write(json.dumps(q) + "\n")
+
+    model = VQAModel(cfg, num_answers=3, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((2, 20), jnp.int32),
+        jnp.zeros((2, 4, 16)), jnp.zeros((2, 4, 4)),
+        attention_mask=jnp.ones((2, 20)))["params"]
+    save_pytree(jax.tree.map(np.asarray, params),
+                str(tmp_path / "BEST.msgpack"))
+
+    common = ["--load", str(tmp_path / "BEST.msgpack"),
+              "--model_config", str(tmp_path / "model.yaml"),
+              "--h5", str(tmp_path / "grid2.h5"),
+              "--vocab", str(tmp_path / "vocab.txt"),
+              "--label2ans", str(tmp_path / "label2ans.json"),
+              "--questions", str(tmp_path / "qs.jsonl"),
+              "--batch", "4"]
+    serve_main(common + ["--output", str(tmp_path / "ans_i8.jsonl")])
+    serve_main(common + ["--output", str(tmp_path / "ans_bf.jsonl"),
+                         "--bf16"])
+
+    for name in ("ans_i8.jsonl", "ans_bf.jsonl"):
+        lines = [json.loads(l) for l in
+                 open(tmp_path / name) if l.strip()]
+        assert len(lines) == 10
+        assert [l["question_id"] for l in lines] == list(range(10))
+        assert all(l["answer"] in answers for l in lines)
