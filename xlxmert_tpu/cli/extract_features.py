@@ -69,12 +69,11 @@ def run_maskrcnn(ns):
     # already snaps, but an explicit --image_size may not.
     pad32 = lambda v: (v + 31) // 32 * 32  # noqa: E731
     if imsize:
-        if ns.arch == "maskrcnn" and imsize % 32:
-            snapped = pad32(imsize)
-            print(f"--image_size {imsize} is not /32; padding canvas "
-                  f"to {snapped} (FPN stride alignment)")
-            imsize = snapped
-        canvas_hw = (imsize, imsize)
+        if imsize % 32:
+            print(f"--image_size {imsize}: images keep that size; the "
+                  f"canvas zero-pads to {pad32(imsize)} "
+                  f"(FPN stride alignment)")
+        canvas_hw = (pad32(imsize), pad32(imsize))
     else:
         shapes = []
         for p in paths:

@@ -72,6 +72,10 @@ def main(argv=None):
 
     questions = [json.loads(l) for l in open(ns.questions) if l.strip()]
     print(f"{len(questions)} questions")
+    if not questions:
+        open(ns.output, "w").close()
+        print("served 0 answers")
+        return ns.output
 
     # catalog -> HBM (read-through reader: no duplicate host copy)
     reader = GridFeatureReader(ns.h5, cache=None)
@@ -81,6 +85,13 @@ def main(argv=None):
     print(f"feature cache: {cache.table.shape[0]} images, "
           f"{cache.nbytes/1e6:.0f} MB HBM, {time.time()-t0:.1f}s")
 
+    missing = sorted({str(q["img_id"]) for q in questions}
+                     - set(cache.index))
+    if missing:
+        raise SystemExit(
+            f"{len(missing)} img_id(s) in --questions are absent from "
+            f"the --h5 catalog (first few: {missing[:5]})")
+
     params = load_any_checkpoint(ns.load)
     params = params.get("params", params)
     B, L, V = ns.batch, ns.max_text_length, cache.table.shape[1]
@@ -88,7 +99,8 @@ def main(argv=None):
         jnp.asarray(box_position(grid))[None], (B, V, 4)
     ).astype(jnp.bfloat16)
 
-    def batches():
+    def make_batches():
+        out = []
         for s in range(0, len(questions), B):
             chunk = questions[s:s + B]
             n_valid = len(chunk)
@@ -96,13 +108,22 @@ def main(argv=None):
             ids = tokenizer.encode_batch([q["sent"] for q in chunk], L)
             mask = (ids > 0).astype(np.float32)
             picks = cache.indices([q["img_id"] for q in chunk])
-            yield chunk[:n_valid], ids, picks, mask
+            out.append((chunk[:n_valid], ids, picks, mask))
+        return out
 
+    all_batches = make_batches()
+
+    dev = jax.devices()[0]
     if ns.bf16:
         from xlxmert_tpu.models.task_heads import VQAModel
 
         model = VQAModel(cfg, num_answers=len(label2ans),
                          dtype=jnp.bfloat16)
+        # pin the tree on device once — numpy jit args re-upload per call
+        dev_params = jax.device_put(jax.tree.map(
+            lambda x: (np.asarray(x).astype(np.dtype(jnp.bfloat16))
+                       if np.asarray(x).dtype in (np.float32, np.float64)
+                       else np.asarray(x)), params), dev)
 
         @jax.jit
         def step(params, table, ids, picks, mask):
@@ -112,13 +133,14 @@ def main(argv=None):
             return logits.argmax(-1)
 
         run = lambda ids, picks, mask: step(  # noqa: E731
-            params, cache.table, ids, picks, mask)
+            dev_params, cache.table, ids, picks, mask)
     else:
+        # quantize_weight already places the int8 trees on device
         qp = engine.prepare_params(
             jax.tree.map(np.asarray, params["bert"]), cfg)
         hqp = engine.prepare_answer_head(
             jax.tree.map(np.asarray, params["answer_head"]))
-        _, ids0, picks0, mask0 = next(batches())
+        _, ids0, picks0, mask0 = all_batches[0]
         feats0 = np.asarray(
             FeatureCache.lookup(cache.table, jnp.asarray(picks0[:8])),
             np.float32)
@@ -127,6 +149,7 @@ def main(argv=None):
                        pos[:8], jnp.asarray(mask0[:8]))], cfg)
         sqp = engine.apply_calibration(qp, calib)
         shqp = engine.apply_calibration(hqp, calib)
+        engine.assert_fully_calibrated(sqp, shqp)
 
         @jax.jit
         def step(sqp, shqp, table, ids, picks, mask):
@@ -142,7 +165,7 @@ def main(argv=None):
     n = 0
     t0 = None
     with open(ns.output, "w") as f:
-        for chunk, ids, picks, mask in batches():
+        for chunk, ids, picks, mask in all_batches:
             preds = np.asarray(run(jnp.asarray(ids), jnp.asarray(picks),
                                    jnp.asarray(mask)))
             if t0 is None:
@@ -153,11 +176,12 @@ def main(argv=None):
                 f.write(json.dumps({
                     "question_id": q["question_id"],
                     "answer": label2ans[int(p)]}) + "\n")
-    dt = max(time.time() - t0, 1e-9)
     path = "bf16" if ns.bf16 else "int8_static"
-    print(f"served {len(questions)} answers ({path}); steady-state "
-          f"{n/dt:.1f} q/s" if n else
-          f"served {len(questions)} answers ({path})")
+    if n and t0 is not None:
+        print(f"served {len(questions)} answers ({path}); steady-state "
+              f"{n/(max(time.time() - t0, 1e-9)):.1f} q/s")
+    else:
+        print(f"served {len(questions)} answers ({path})")
     return ns.output
 
 

@@ -340,6 +340,24 @@ def apply_calibration(tree, calib: Dict[int, float]):
     return walk(tree)
 
 
+def assert_fully_calibrated(*trees) -> None:
+    """Loud guard against the id-keyed calibration silently missing
+    sites (which would fall back to the slower dynamic int8 path): the
+    qp trees passed to apply_calibration must be the same objects that
+    went through calibrate/calibrate_forward."""
+    n_total = n_calibrated = 0
+    for leaf in jax.tree.leaves(
+            trees, is_leaf=lambda x: isinstance(x, QuantWeight)):
+        if isinstance(leaf, QuantWeight):
+            n_total += 1
+            n_calibrated += leaf.inv_a is not None
+    if n_calibrated < n_total:
+        raise RuntimeError(
+            f"int8 calibration attached static scales to only "
+            f"{n_calibrated}/{n_total} sites — the qp trees must be the "
+            f"same objects passed to calibrate/calibrate_forward")
+
+
 def _ffn_apply(x, p):
     h = int8_dense_shared(x, p["w1"])
     h = jax.nn.gelu(h, approximate=True)

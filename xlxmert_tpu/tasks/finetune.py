@@ -196,22 +196,7 @@ class FinetuneEngine:
                                          [unpack(calib_batch)])
         sqp = engine.apply_calibration(qp, calib)
         shqp = engine.apply_calibration(hqp, calib)
-        # loud guard against the id-keyed-calibration silently missing
-        # sites (which would fall back to the slower dynamic int8 path)
-        from xlxmert_tpu.ops.quant import QuantWeight
-
-        n_total = n_calibrated = 0
-        for leaf in jax.tree.leaves(
-                (sqp, shqp),
-                is_leaf=lambda x: isinstance(x, QuantWeight)):
-            if isinstance(leaf, QuantWeight):
-                n_total += 1
-                n_calibrated += leaf.inv_a is not None
-        if n_calibrated < n_total:
-            raise RuntimeError(
-                f"int8 calibration attached static scales to only "
-                f"{n_calibrated}/{n_total} sites — the qp trees must be "
-                f"the same objects passed to calibrate_forward")
+        engine.assert_fully_calibrated(sqp, shqp)
         step = jax.jit(lambda a, b, i, f, p, m: jnp.argmax(
             fwd(a, b, i, f, p, m), axis=-1))
 

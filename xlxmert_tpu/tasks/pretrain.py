@@ -289,7 +289,7 @@ class PretrainEngine:
                 return s2, m["total_loss"]
 
             if per_step_batches:
-                state, losses = jax.lax.scan(body, state, batch)
+                state, losses = jax.lax.scan(body, state, batch, length=k)
             else:
                 state, losses = jax.lax.scan(body, state, None, length=k)
             return state, losses.mean()
@@ -299,12 +299,24 @@ class PretrainEngine:
     def place_stacked(self, batches):
         """Stack k host batches (list of dicts) to (k, B, ...) leaves,
         sharded over the data axis on dim 1 — the input shape for
-        chained_train_step(..., per_step_batches=True)."""
+        chained_train_step(..., per_step_batches=True). Multi-host:
+        like shard_batch, each host passes its own k local batches and
+        the global array is assembled from process-local shards."""
         import numpy as np
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
         sh = NamedSharding(self.mesh, P(None, "data"))
+        if jax.process_count() > 1:
+            n_proc = jax.process_count()
+
+            def put(x):
+                global_shape = ((x.shape[0], x.shape[1] * n_proc)
+                                + tuple(x.shape[2:]))
+                return jax.make_array_from_process_local_data(
+                    sh, x, global_shape)
+
+            return jax.tree.map(put, stacked)
         return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
 
     def eval_step(self, task: str):
