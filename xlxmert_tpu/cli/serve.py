@@ -20,7 +20,9 @@ Usage:
       --questions questions.jsonl --output answers.jsonl [--batch 256]
 
 questions.jsonl lines: {"question_id": ..., "img_id": ..., "sent": ...}
-(the reference's dataset json fields, vqa_data.py:40-56).
+(the reference's dataset json fields, vqa_data.py:40-56). GQA
+checkpoints serve identically (same model shape) — point --label2ans
+at the GQA answer list.
 """
 from __future__ import annotations
 
