@@ -123,6 +123,61 @@ def test_step3_pretrain(world):
     assert any("valid/vis_mask" in s for s in scalars)
 
 
+def test_step3b_pretrain_bert_init(world):
+    """Reference-default BERT init (lxmert_pretrain.py:58-61): the language
+    stack starts from the converted torch checkpoint; --fromScratch opts
+    out (param.py:90-93)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from xlxmert_tpu.cli.pretrain import main
+
+    tcfg = transformers.BertConfig(
+        vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64)
+    torch.manual_seed(0)
+    tmodel = transformers.BertForPreTraining(tcfg)
+    bert_path = world / "bert_tiny.bin"
+    torch.save(tmodel.state_dict(), str(bert_path))
+
+    cpath = (world / "cluster_centroids" /
+             "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
+    pkl = (world / "cluster_ids" /
+           "maskrcnn_train_grid2_img_id_to_cluster_id_10_iter3_d2048"
+           "_grid2.pkl")
+    base = ["--taskMaskLM", "--taskObjPredict", "--taskMatched",
+            "--visualLosses", "obj", "--vis_mask_predict", "--clustering",
+            "--grid_model", "--grid_size", str(GRID),
+            "--num_clusters", "10", "--epochs", "1", "--batchSize", "8",
+            "--train", "mscoco_train", "--valid", "mscoco_minival",
+            "--data_root", str(world), "--vocab", str(world / "vocab.txt"),
+            "--centroid_path", str(cpath), "--cluster_pkl", str(pkl),
+            "--model_config", str(world / "model.yaml"), "--fp32",
+            "--seed", "1", "--dry"]
+    out = world / "snap_bert_init"
+    main(base + ["--output", str(out), "--bert_weights", str(bert_path)])
+    log = (out / "log.txt").read_text()
+    assert "BERT init from" in log
+    # the saved epoch checkpoint carries the BERT word embeddings (--dry
+    # skips training, so the overlay is untouched)
+    from xlxmert_tpu.core.checkpoint import load_pytree
+
+    ck = load_pytree(str(out / "Epoch01_LXRT.msgpack"))
+    np.testing.assert_allclose(
+        ck["bert"]["embeddings"]["word_embeddings"]["embedding"],
+        tmodel.bert.embeddings.word_embeddings.weight.detach().numpy(),
+        atol=1e-6)
+
+    out2 = world / "snap_from_scratch"
+    main(base + ["--output", str(out2), "--fromScratch",
+                 "--bert_weights", str(bert_path)])
+    log2 = (out2 / "log.txt").read_text()
+    assert "ignoring --bert_weights" in log2
+    ck2 = load_pytree(str(out2 / "Epoch01_LXRT.msgpack"))
+    assert not np.allclose(
+        ck2["bert"]["embeddings"]["word_embeddings"]["embedding"],
+        tmodel.bert.embeddings.word_embeddings.weight.detach().numpy())
+
+
 def test_step4_vqa_finetune_and_test(world):
     from xlxmert_tpu.cli.vqa import main
 

@@ -35,7 +35,13 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--load", default=None)
     p.add_argument("--loadLXMERT", dest="load_lxmert", default=None)
     p.add_argument("--loadLXMERTQA", dest="load_lxmert_qa", default=None)
-    p.add_argument("--fromScratch", dest="from_scratch", action="store_true")
+    p.add_argument("--fromScratch", dest="from_scratch", action="store_true",
+                   help="skip BERT-pretrained init (reference param.py:90-93)")
+    p.add_argument("--bert_weights", default=None,
+                   help="bert-base-uncased torch state_dict (.bin/.pth) for "
+                   "the reference-default BERT init of the language stack "
+                   "(lxmert_pretrain.py:58-61); required because this "
+                   "environment cannot download from the HF hub")
     p.add_argument("--comment", default="")
     # model shape (param.py:107-112)
     p.add_argument("--llayers", type=int, default=9)

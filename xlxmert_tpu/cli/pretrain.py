@@ -98,6 +98,37 @@ def main(argv=None):
 
     state = eng.create_state(jax.random.PRNGKey(cfg.seed))
     start_epoch = 0
+    # BERT-pretrained init (the reference default, lxmert_pretrain.py:58-61;
+    # --fromScratch is the documented opt-out, param.py:90-93). Applied
+    # before any --load resume so a full checkpoint overlay wins.
+    if cfg.from_scratch:
+        if cfg.bert_weights:
+            logger.info("--fromScratch set: ignoring --bert_weights "
+                        f"{cfg.bert_weights}")
+    elif cfg.bert_weights:
+        from xlxmert_tpu.core.checkpoint import merge_params
+        from xlxmert_tpu.core.convert import load_bert_state_dict
+
+        bert_tree = load_bert_state_dict(cfg.bert_weights,
+                                         l_layers=model_cfg.l_layers)
+        merged, missing, unexpected = merge_params(
+            jax.tree.map(np.asarray, state.params), bert_tree)
+        if unexpected:
+            raise ValueError(
+                f"--bert_weights produced unexpected param paths "
+                f"(wrong checkpoint?): {unexpected[:5]}...")
+        state = state.replace(params=jax.device_put(
+            jax.tree.map(jnp.asarray, merged), state.params[
+                "bert"]["pooler"]["dense"]["kernel"].sharding))
+        logger.info(f"BERT init from {cfg.bert_weights}: language stack + "
+                    f"embeddings + LM/matched heads loaded; "
+                    f"{len(missing)} param paths stay random-init")
+    elif not cfg.load:
+        logger.info(
+            "WARNING: no --bert_weights given and --fromScratch not set — "
+            "the reference default initializes from bert-base-uncased "
+            "(lxmert_pretrain.py:58-61); proceeding from scratch. Pass "
+            "--bert_weights pytorch_model.bin or --fromScratch to silence.")
     if cfg.load:
         from xlxmert_tpu.core.checkpoint import merge_params
 

@@ -143,6 +143,10 @@ class TrainConfig(_YamlMixin):
     load_lxmert: Optional[str] = None
     load_lxmert_qa: Optional[str] = None
     from_scratch: bool = False
+    # bert-base-uncased torch weights (.bin/.pth) for the reference's
+    # default language-stack initialization (lxmert_pretrain.py:58-61);
+    # --fromScratch opts out, matching param.py:90-93.
+    bert_weights: Optional[str] = None
     comment: str = ""
 
     # distribution: 1-D data mesh over ICI (replaces NCCL DDP,

@@ -157,6 +157,62 @@ def split_variables(tree: Dict[str, Any]) -> Dict[str, Dict]:
     return out
 
 
+def load_bert_state_dict(state_dict_or_path, l_layers: int = 9) -> Dict[str, Any]:
+    """bert-base-uncased torch state_dict -> XLxmert param overlay.
+
+    The reference initializes pretraining with
+    `XLxmertForPretraining.from_pretrained('bert-base-uncased')`
+    (lxmert_pretrain.py:58-61), which maps BERT weights by name overlap:
+    the model's language attribute is literally named `bert` (lxrt/
+    modeling.py:80) and HF names the LXMERT language stack `layer`, so
+    `bert.embeddings.*`, `bert.encoder.layer.{0..l_layers-1}.*`,
+    `bert.pooler.*`, `cls.predictions.*` (LM head) and
+    `cls.seq_relationship.*` (NSP -> matched head) all land; BERT layers
+    >= l_layers and everything else are dropped. `--fromScratch`
+    (param.py:90-93) is the documented opt-out.
+
+    Accepts a `.pth`/`.bin` path or an in-memory state_dict; handles both
+    BertForPreTraining (`bert.`-prefixed) and bare BertModel key layouts.
+    Returns a nested tree to overlay via `core.checkpoint.merge_params`
+    (the visual stacks, cross stacks, and heads stay at their random
+    init, exactly like the reference's strict=False name-overlap load).
+    """
+    if isinstance(state_dict_or_path, (str,)) or hasattr(state_dict_or_path,
+                                                         "__fspath__"):
+        import torch  # host-side only
+
+        sd = torch.load(str(state_dict_or_path), map_location="cpu",
+                        weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd and not hasattr(
+                sd.get("state_dict"), "shape"):
+            sd = sd["state_dict"]
+    else:
+        sd = state_dict_or_path
+    sd = strip_ddp_prefix(sd)
+    if not any(k.startswith("bert.") for k in sd):
+        # bare BertModel layout -> BertForPreTraining layout
+        sd = {("bert." + k if not k.startswith("cls.") else k): v
+              for k, v in sd.items()}
+
+    kept: Dict[str, Any] = {}
+    for key, tensor in sd.items():
+        if key.endswith("position_ids"):  # HF buffer, not a weight
+            continue
+        if key == "cls.predictions.decoder.bias":  # tied to cls.predictions.bias
+            continue
+        if key.startswith("bert.encoder.layer."):
+            idx = int(key.split(".")[3])
+            if idx >= l_layers:
+                continue  # BERT has 12 layers; the language stack takes 9
+        elif not (key.startswith("bert.embeddings.")
+                  or key.startswith("bert.pooler.")
+                  or key.startswith("cls.predictions.")
+                  or key.startswith("cls.seq_relationship.")):
+            continue  # NSP pooler variants, heads we don't have, etc.
+        kept[key] = tensor
+    return convert_torch_state_dict(kept)
+
+
 def extract_centroids(state_dict: Mapping[str, Any]) -> Optional[np.ndarray]:
     """Pull the frozen centroid table (`vis_emb.weight`) out of a reference
     checkpoint, if present."""
