@@ -1,6 +1,9 @@
 #!/bin/bash
 # Canonical pretraining recipe (reference x-lxmert/scripts/pretrain.bash:11-30)
 # on the TPU-native stack. Adjust --data_root/--vocab to your layout.
+# The reference default initializes from bert-base-uncased: add
+#   --bert_weights path/to/bert-base-uncased/pytorch_model.bin
+# (or --fromScratch to opt out, matching param.py:90-93).
 python -m xlxmert_tpu.cli.pretrain \
     --taskMaskLM --taskObjPredict --taskMatched \
     --visualLosses obj \

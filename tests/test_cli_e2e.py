@@ -178,6 +178,44 @@ def test_step3b_pretrain_bert_init(world):
         tmodel.bert.embeddings.word_embeddings.weight.detach().numpy())
 
 
+def test_step3c_pretrain_bbox_path(world):
+    """The non-grid / non-clustering pretrain variant: bbox h5 in
+    (features/obj_id/boxes/img_w/img_h, C17 contract), detector-vocab obj
+    head + exact-feature regression (reference lxmert_pretrain.py:723-741,
+    lxmert_data.py:277-344)."""
+    import h5py
+    from xlxmert_tpu.cli.pretrain import main
+
+    n_boxes = 4
+    rng = np.random.RandomState(7)
+    bbox_h5 = world / "maskrcnn_train_boxes4.h5"
+    with h5py.File(bbox_h5, "w") as f:
+        for i in range(12):
+            g = f.create_group(f"img{i:02d}")
+            g.create_dataset("features", data=rng.randn(
+                n_boxes, 2048).astype(np.float32))
+            g.create_dataset("obj_id", data=rng.randint(0, 7, (n_boxes,)))
+            boxes = np.abs(rng.randn(n_boxes, 4)).astype(np.float32) * 50
+            boxes[:, 2:] += boxes[:, :2]
+            g.create_dataset("boxes", data=boxes)
+            g.create_dataset("img_w", data=64)
+            g.create_dataset("img_h", data=64)
+
+    out = world / "snap_bbox"
+    main(["--taskMaskLM", "--taskObjPredict", "--taskMatched",
+          "--visualLosses", "obj,feat", "--target_obj_id",
+          "--feed_exact_feat", "--target_exact_feat",
+          "--n_boxes", str(n_boxes), "--bbox_h5", str(bbox_h5),
+          "--epochs", "1", "--batchSize", "8",
+          "--train", "mscoco_train", "--valid", "mscoco_minival",
+          "--data_root", str(world), "--vocab", str(world / "vocab.txt"),
+          "--model_config", str(world / "model.yaml"),
+          "--output", str(out), "--fp32", "--seed", "1", "--fromScratch"])
+    assert (out / "Epoch01_LXRT.msgpack").exists()
+    scalars = [json.loads(l) for l in open(out / "scalars.jsonl")]
+    assert any("valid/vis_mask" in s for s in scalars)
+
+
 def test_step4_vqa_finetune_and_test(world):
     from xlxmert_tpu.cli.vqa import main
 

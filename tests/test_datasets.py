@@ -176,3 +176,78 @@ def test_pretrain_qa_and_coco_substitution(fixtures):
                    if d["img_source"] == "mscoco"}
     pool_imgs = {ds.examples[i]["img_id"] for i in ds._vis_pool}
     assert pool_imgs <= mscoco_imgs
+
+
+@pytest.fixture(scope="module")
+def bbox_fixtures(tmp_path_factory):
+    """Synthetic boxes36-style h5 (C17 extractor contract:
+    features/obj_id/boxes/img_w/img_h per image)."""
+    import h5py
+
+    root = tmp_path_factory.mktemp("bbox")
+    rng = np.random.RandomState(3)
+    img_ids = [f"img{i}" for i in range(5)]
+    n_boxes, dim = 4, 8
+    path = root / "maskrcnn_train_boxes4.h5"
+    with h5py.File(path, "w") as f:
+        for i in img_ids:
+            g = f.create_group(i)
+            g.create_dataset(
+                "features", data=rng.randn(n_boxes, dim).astype(np.float32))
+            g.create_dataset(
+                "obj_id", data=rng.randint(0, 13, (n_boxes,)))
+            boxes = np.abs(rng.randn(n_boxes, 4)).astype(np.float32) * 100
+            boxes[:, 2:] += boxes[:, :2]  # x2 >= x1, y2 >= y1
+            g.create_dataset("boxes", data=boxes)
+            g.create_dataset("img_w", data=640)
+            g.create_dataset("img_h", data=480)
+    return root, path, img_ids
+
+
+def test_bbox_feature_reader_normalizes(bbox_fixtures):
+    """Boxes divide by img_w/img_h and clamp to [0,1]
+    (reference lxmert_data.py:310-325)."""
+    from xlxmert_tpu.data.io import BboxFeatureReader
+
+    _, path, img_ids = bbox_fixtures
+    reader = BboxFeatureReader(path)
+    row = reader.get(img_ids[0])
+    assert row["features"].shape == (4, 8)
+    assert row["obj_id"].shape == (4,)
+    assert row["boxes"].min() >= 0.0 and row["boxes"].max() <= 1.0
+    # cache returns the same object
+    assert reader.get(img_ids[0]) is row
+    assert img_ids[0] in reader and "nope" not in reader
+
+
+def test_pretrain_dataset_bbox_mode(bbox_fixtures, fixtures):
+    """Bbox-path batches carry vis_feats/obj_id/boxes and no cluster_id
+    (reference lxmert_data.py:277-344, data_out lxmert_pretrain.py:723-741)."""
+    from xlxmert_tpu.data.io import BboxFeatureReader
+
+    _, path, img_ids = bbox_fixtures
+    _, tok, _ = fixtures
+    corpus = [{"img_id": i, "img_source": "mscoco_train",
+               "sentf": {"mscoco": ["a dog runs", "a cat sits"]}}
+              for i in img_ids] + [
+        {"img_id": "missing", "img_source": "mscoco_train",
+         "sentf": {"mscoco": ["blue"]}},
+        {"img_id": img_ids[0], "img_source": "unrouted",
+         "sentf": {"mscoco": ["red"]}}]
+    readers = {"mscoco_train": BboxFeatureReader(path)}
+    ds = PretrainDataset(corpus, tok, bbox_readers=readers,
+                         max_text_length=8)
+    # images without a reader entry / unrouted sources are filtered
+    assert len(ds) == len(img_ids) * 2
+    batch = next(iter(ds.batches(6, shuffle=True, seed=0)))
+    assert batch["vis_feats"].shape == (6, 4, 8)
+    assert batch["obj_id"].shape == (6, 4)
+    assert batch["boxes"].shape == (6, 4, 4)
+    assert batch["boxes"].min() >= 0 and batch["boxes"].max() <= 1
+    assert "cluster_id" not in batch
+
+
+def test_pretrain_dataset_requires_one_visual_source(fixtures):
+    _, tok, corpus = fixtures
+    with pytest.raises(ValueError):
+        PretrainDataset(corpus, tok)

@@ -122,6 +122,7 @@ def test_non_clustering_with_feat_obj_attr_losses():
         visual_feat_dim=16, num_object_labels=23, num_attr_labels=7,
         num_clusters=0)
     cfg = TrainConfig(batch_size=8, grid_size=4, clustering=False,
+                      target_obj_id=True,
                       visual_losses="obj,attr,feat", max_text_length=10,
                       mixed_precision=False, lr=1e-3)
     eng = PretrainEngine(cfg, model_cfg=model_cfg, total_steps=20)
@@ -133,7 +134,7 @@ def test_non_clustering_with_feat_obj_attr_losses():
         "other_word_id": rng.randint(1, 150, (B, L)).astype(np.int32),
         "matched_label": rng.randint(0, 2, (B,)).astype(np.int32),
         "vis_feats": rng.randn(B, V, 16).astype(np.float32),
-        "cluster_id": rng.randint(0, 23, (B, V)).astype(np.int32),  # obj ids
+        "obj_id": rng.randint(0, 23, (B, V)).astype(np.int32),
         "attr_label": rng.randint(0, 7, (B, V)).astype(np.int32),
     })
     centroids = jnp.zeros((1, 16))
@@ -201,3 +202,77 @@ def test_chained_per_step_batches_match_sequential():
                     jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def make_bbox_engine(**cfg_kw):
+    """Non-clustering bbox path (reference lxmert_pretrain.py:723-741):
+    detector-vocab obj head, exact-feature input, per-image boxes."""
+    model_cfg = LxmertConfig(
+        vocab_size=150, hidden_size=32, num_attention_heads=4,
+        intermediate_size=64, l_layers=1, x_layers=1, r_layers=1,
+        visual_feat_dim=16, num_qa_labels=11, num_clusters=0,
+        num_object_labels=21, num_attr_labels=9)
+    kw = dict(batch_size=16, grid_model=False, n_boxes=6,
+              clustering=False, num_clusters=0,
+              target_obj_id=True, feed_exact_feat=True,
+              target_exact_feat=True,
+              max_text_length=12, mixed_precision=False, lr=3e-3)
+    kw.update(cfg_kw)
+    return PretrainEngine(TrainConfig(**kw), model_cfg=model_cfg,
+                          total_steps=100)
+
+
+def make_bbox_batch(cfg, rng_seed=0, B=16):
+    rng = np.random.RandomState(rng_seed)
+    L, V = cfg.max_text_length, cfg.n_vis
+    word_id = rng.randint(1, 150, (B, L)).astype(np.int32)
+    word_id[:, 0] = 101
+    boxes = np.sort(rng.rand(B, V, 4).astype(np.float32), axis=-1)
+    return {
+        "word_id": word_id,
+        "other_word_id": rng.randint(1, 150, (B, L)).astype(np.int32),
+        "matched_label": rng.randint(0, 2, (B,)).astype(np.int32),
+        "obj_id": rng.randint(0, 21, (B, V)).astype(np.int32),
+        "vis_feats": rng.randn(B, V, 16).astype(np.float32),
+        "boxes": boxes,
+    }
+
+
+def test_bbox_path_train_steps():
+    """vis_mask on the bbox path: obj CE against detector ids through
+    the out_obj head + SmoothL1 feat regression, real box positions."""
+    eng = make_bbox_engine(visual_losses="obj,feat")
+    assert eng.cfg.n_vis == 6
+    state = eng.create_state(jax.random.PRNGKey(0))
+    centroids = jnp.zeros((1, 16))  # unused on this path
+    batch = eng.place(make_bbox_batch(eng.cfg))
+    rng = jax.random.PRNGKey(42)
+
+    losses = []
+    for task in ("vis_mask", "word_mask", "matched", "vis_mask"):
+        state, m = eng.train_step(task)(state, batch, rng, centroids)
+        assert np.isfinite(float(m["total_loss"])), task
+        losses.append(float(m["total_loss"]))
+    m_keys = eng.eval_step("vis_mask")(state.params, batch,
+                                       jax.random.PRNGKey(1), centroids)
+    assert "obj_loss" in m_keys and "feat_loss" in m_keys
+
+    # learning smoke: re-fed vis_mask loss drops (mean of the last few
+    # steps vs the first — the random mask re-rolls per step)
+    tail = []
+    for _ in range(12):
+        state, m = eng.train_step("vis_mask")(state, batch, rng, centroids)
+        tail.append(float(m["total_loss"]))
+    assert np.mean(tail[-3:]) < losses[0]
+
+
+def test_bbox_path_without_target_obj_id_skips_obj_loss():
+    """No label source for obj -> no obj loss, like the reference's
+    forward which only fills obj_labels under clustering/target_obj_id
+    (lxmert_pretrain.py:162-170)."""
+    eng = make_bbox_engine(visual_losses="obj,feat", target_obj_id=False)
+    state = eng.create_state(jax.random.PRNGKey(0))
+    batch = eng.place(make_bbox_batch(eng.cfg))
+    m = eng.eval_step("vis_mask")(state.params, batch,
+                                  jax.random.PRNGKey(1), jnp.zeros((1, 16)))
+    assert "obj_loss" not in m and "feat_loss" in m

@@ -61,6 +61,14 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--objMaskRate", dest="obj_mask_rate", type=float,
                    default=0.15)
     p.add_argument("--word_mask_predict", action="store_true")
+    # bbox-path pretraining (param.py:172-173,246-247)
+    p.add_argument("--target_obj_id", action="store_true")
+    p.add_argument("--feed_exact_feat", action="store_true")
+    p.add_argument("--target_exact_feat", action="store_true")
+    p.add_argument("--bbox_h5", default=None,
+                   help="boxes36 h5 override used for every data source "
+                   "(default: reference per-source routing, "
+                   "lxmert_pretrain.py:196-201)")
     p.add_argument("--vis_mask_predict", action="store_true")
     p.add_argument("--square_mask", action="store_true")
     p.add_argument("--vis_mask_COCO_only", action="store_true")

@@ -52,16 +52,50 @@ def main(argv=None):
     tokenizer = Tokenizer(ns.vocab)
     root = Path(ns.data_root)
 
-    # centroids (lxmert_pretrain.py:70-77 path convention)
-    centroid_path = ns.centroid_path or root / "cluster_centroids" / \
-        centroid_filename(cfg.encoder, cfg.cluster_src, cfg.num_clusters,
-                          cfg.kmeans_iterations, cfg.feat_dim, cfg.grid_size)
-    centroids = jnp.asarray(np.load(centroid_path))
+    clusters = None
+    bbox_readers = None
+    if cfg.clustering:
+        # centroids (lxmert_pretrain.py:70-77 path convention)
+        centroid_path = ns.centroid_path or root / "cluster_centroids" / \
+            centroid_filename(cfg.encoder, cfg.cluster_src, cfg.num_clusters,
+                              cfg.kmeans_iterations, cfg.feat_dim,
+                              cfg.grid_size)
+        centroids = jnp.asarray(np.load(centroid_path))
 
-    cluster_pkl = ns.cluster_pkl or root / "cluster_ids" / \
-        f"{cfg.encoder}_train_img_id_to_cluster_id_{cfg.num_clusters}" \
-        f"_iter{cfg.kmeans_iterations}_d{cfg.feat_dim}_grid{cfg.grid_size}.pkl"
-    clusters = ClusterMap(cluster_pkl)
+        cluster_pkl = ns.cluster_pkl or root / "cluster_ids" / \
+            f"{cfg.encoder}_train_img_id_to_cluster_id_{cfg.num_clusters}" \
+            f"_iter{cfg.kmeans_iterations}_d{cfg.feat_dim}" \
+            f"_grid{cfg.grid_size}.pkl"
+        clusters = ClusterMap(cluster_pkl)
+    else:
+        # bbox path (reference per-source h5 routing,
+        # lxmert_pretrain.py:196-201); --bbox_h5 overrides all sources
+        from xlxmert_tpu.data.io import BboxFeatureReader
+
+        centroids = jnp.zeros((1, cfg.feat_dim))  # unused placeholder
+        default_routes = {
+            "mscoco_train": root / "mscoco_imgfeat"
+            / f"maskrcnn_train_boxes{cfg.n_boxes}.h5",
+            "mscoco_minival": root / "mscoco_imgfeat"
+            / f"maskrcnn_valid_boxes{cfg.n_boxes}.h5",
+            "mscoco_nominival": root / "mscoco_imgfeat"
+            / f"maskrcnn_valid_boxes{cfg.n_boxes}.h5",
+            "vgnococo": root / "vg_imgfeat"
+            / f"maskrcnn_boxes{cfg.n_boxes}.h5",
+        }
+        sources = set(cfg.train.split(",")) | set(cfg.valid.split(","))
+        readers_by_path = {}
+        bbox_readers = {}
+        for source in sources:
+            path = Path(ns.bbox_h5) if ns.bbox_h5 else default_routes.get(
+                source)
+            if path is None:
+                raise ValueError(
+                    f"no bbox h5 route for source {source!r}; pass "
+                    "--bbox_h5 or use a known source name")
+            if str(path) not in readers_by_path:
+                readers_by_path[str(path)] = BboxFeatureReader(path)
+            bbox_readers[source] = readers_by_path[str(path)]
 
     answer_table = None
     if cfg.task_qa:
@@ -77,17 +111,24 @@ def main(argv=None):
     ds_kw = dict(max_text_length=cfg.max_text_length,
                  grid_size=cfg.grid_size, answer_table=answer_table,
                  vis_mask_sources=vis_mask_sources)
-    corpus = []
-    for source in cfg.train.split(","):
-        corpus.extend(load_json(root / "lxmert" / f"{source}.json"))
-    train_ds = PretrainDataset(corpus, tokenizer, clusters,
+    def load_corpus(sources: str):
+        out = []
+        for source in sources.split(","):
+            data = load_json(root / "lxmert" / f"{source}.json")
+            for datum in data:
+                # bbox-path h5 routing is per corpus source
+                # (lxmert_pretrain.py:196-201 + img_ids_to_source)
+                datum.setdefault("img_source", source)
+            out.extend(data)
+        return out
+
+    train_ds = PretrainDataset(load_corpus(cfg.train), tokenizer, clusters,
+                               bbox_readers=bbox_readers,
                                topk=cfg.train_topk, **ds_kw)
     train_ds.shard(jax.process_index(), jax.process_count())
 
-    valid_corpus = []
-    for source in cfg.valid.split(","):
-        valid_corpus.extend(load_json(root / "lxmert" / f"{source}.json"))
-    valid_ds = PretrainDataset(valid_corpus, tokenizer, clusters,
+    valid_ds = PretrainDataset(load_corpus(cfg.valid), tokenizer, clusters,
+                               bbox_readers=bbox_readers,
                                topk=cfg.valid_topk, **ds_kw)
 
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)

@@ -136,6 +136,13 @@ class TrainConfig(_YamlMixin):
     square_mask: bool = False
     vis_mask_COCO_only: bool = False
     vis_mask_COCOVG_only: bool = True
+    # bbox (non-clustering) pretraining path (param.py:172-173,246-247):
+    # obj CE labels = detector obj ids via the out_obj head; feat labels /
+    # model input = exact h5 features. data_out wiring:
+    # lxmert_pretrain.py:723-741.
+    target_obj_id: bool = False
+    feed_exact_feat: bool = False
+    target_exact_feat: bool = False
 
     # io
     output: str = "snap/pretrain"
@@ -166,6 +173,12 @@ class TrainConfig(_YamlMixin):
     @property
     def n_grids(self) -> int:
         return self.grid_size ** 2
+
+    @property
+    def n_vis(self) -> int:
+        """Visual tokens per image: grid cells, or n_boxes on the bbox
+        path (reference lxmert_data.py:225-231)."""
+        return self.grid_size ** 2 if self.grid_model else self.n_boxes
 
     @property
     def visual_loss_keys(self) -> Tuple[str, ...]:
@@ -287,3 +300,8 @@ def apply_rng_impl(cfg) -> None:
         import jax
 
         jax.config.update("jax_default_prng_impl", impl)
+        if impl != "threefry2x32":
+            # reproducibility break vs jax-default streams: same seed,
+            # different dropout/masking bits (README divergence log)
+            print(f"PRNG impl: {impl} (non-default; pass --rng_impl "
+                  "threefry2x32 for jax-default streams)", flush=True)

@@ -221,20 +221,32 @@ class PretrainDataset:
     """
 
     def __init__(self, corpus: List[dict], tokenizer: Tokenizer,
-                 cluster_map: ClusterMap,
+                 cluster_map: Optional[ClusterMap] = None,
                  feat_reader: Optional[GridFeatureReader] = None,
                  max_text_length: int = 20, grid_size: int = 8,
                  topk: int = -1,
                  answer_table=None,
-                 vis_mask_sources: Optional[set] = None):
+                 vis_mask_sources: Optional[set] = None,
+                 bbox_readers: Optional[Dict[str, Any]] = None):
         """answer_table: data/answer_table.AnswerTable enables QA labels
         (answer sampled per example, lxmert_data.py:366-388).
         vis_mask_sources: when set (e.g. {"mscoco"} for --vis_mask_COCO_only
         or {"mscoco", "vg"} for --vis_mask_COCOVG_only), batches carry a
         substitute example from those sources for the vis_mask task
-        (lxmert_data.py:466-492)."""
+        (lxmert_data.py:466-492).
+        bbox_readers: the NON-clustering bbox path (reference
+        lxmert_data.py:195-201,277-344): {img_source: BboxFeatureReader}
+        routing each image to its boxes36 h5; batches then carry real
+        features, detector obj ids, and per-image normalized boxes
+        instead of cluster ids. Exactly one of cluster_map/bbox_readers
+        must be given."""
+        if (cluster_map is None) == (bbox_readers is None):
+            raise ValueError(
+                "provide exactly one of cluster_map (clustering/grid mode) "
+                "or bbox_readers (bbox-feature mode)")
         self.tokenizer = tokenizer
         self.clusters = cluster_map
+        self.bbox_readers = bbox_readers
         self.feat = feat_reader
         self.max_text_length = max_text_length
         self.grid_size = grid_size
@@ -244,8 +256,13 @@ class PretrainDataset:
         self.examples: List[dict] = []
         for datum in corpus:
             img_id = datum["img_id"]
-            if img_id not in cluster_map:
-                continue
+            if cluster_map is not None:
+                if img_id not in cluster_map:
+                    continue
+            else:
+                reader = bbox_readers.get(datum.get("img_source", ""))
+                if reader is None or img_id not in reader:
+                    continue
             img_source = datum.get("img_source", "")
             for source, sents in datum.get("sentf", {}).items():
                 labels = datum.get("labelf", {}).get(source)
@@ -326,7 +343,6 @@ class PretrainDataset:
                     matched.append(1)
             other_ids = self.tokenizer.encode_batch(
                 other_sents, self.max_text_length)
-            cluster_ids = [self.clusters.get(d["img_id"]) for d in data]
             batch = {
                 "uids": [d["uid"] for d in data],
                 "n_valid": len(data),
@@ -334,13 +350,27 @@ class PretrainDataset:
                 "other_word_id": _pad_batch(list(other_ids), batch_size),
                 "matched_label": _pad_batch(
                     [np.int32(m) for m in matched], batch_size),
-                "cluster_id": _pad_batch(cluster_ids, batch_size),
             }
+            if self.clusters is not None:
+                batch["cluster_id"] = _pad_batch(
+                    [self.clusters.get(d["img_id"]) for d in data],
+                    batch_size)
+            else:
+                # bbox path (lxmert_data.py:277-344): real detector
+                # features, obj ids, and per-image [0,1] boxes
+                rows = [self.bbox_readers[d["img_source"]].get(d["img_id"])
+                        for d in data]
+                batch["vis_feats"] = _pad_batch(
+                    [r["features"] for r in rows], batch_size)
+                batch["obj_id"] = _pad_batch(
+                    [r["obj_id"] for r in rows], batch_size)
+                batch["boxes"] = _pad_batch(
+                    [r["boxes"] for r in rows], batch_size)
             if self.answer_table is not None:
                 batch["qa_label"] = _pad_batch(
                     [np.int32(self._qa_label(d, rng)) for d in data],
                     batch_size)
-            if self._vis_pool:
+            if self._vis_pool and self.clusters is not None:
                 # substitute COCO/VG example for the vis_mask task
                 subs = [self.examples[self._vis_pool[
                     rng.randrange(len(self._vis_pool))]] for _ in data]

@@ -84,6 +84,58 @@ class GridFeatureReader:
         self._f.close()
 
 
+class BboxFeatureReader:
+    """Random access to the C17 bbox-extractor h5
+    (`maskrcnn_*_boxes36.h5`: per-image features (n_boxes, 2048),
+    obj_id (n_boxes,), boxes (n_boxes, 4) in pixels, img_w/img_h —
+    cli/extract_bbox_features.py, reference
+    coco_extract_bbox_feature.py:296-335).
+
+    `get` returns {features, obj_id, boxes} with boxes normalized to
+    [0, 1] by image size and clamped, exactly like the reference
+    pretraining loader (lxmert_data.py:310-325). Thread-safe; cache="ram"
+    keeps each decoded image after first read."""
+
+    def __init__(self, path, cache: Optional[str] = "ram"):
+        import h5py
+
+        self.path = str(path)
+        self._f = h5py.File(self.path, "r")
+        self._cache: Optional[Dict[str, dict]] = {} if cache == "ram" else None
+        self._lock = threading.Lock()
+
+    def keys(self) -> List[str]:
+        return list(self._f.keys())
+
+    def __contains__(self, img_id) -> bool:
+        return str(img_id) in self._f
+
+    def get(self, img_id) -> dict:
+        img_id = str(img_id)
+        if self._cache is not None:
+            hit = self._cache.get(img_id)
+            if hit is not None:
+                return hit
+        with self._lock:
+            g = self._f[img_id]
+            feats = np.asarray(g["features"], np.float32)
+            obj_id = np.asarray(g["obj_id"], np.int32)
+            boxes = np.asarray(g["boxes"], np.float32)
+            img_w = float(np.asarray(g["img_w"]))
+            img_h = float(np.asarray(g["img_h"]))
+        boxes = boxes.copy()
+        boxes[:, (0, 2)] /= img_w
+        boxes[:, (1, 3)] /= img_h
+        np.clip(boxes, 0.0, 1.0, out=boxes)
+        out = {"features": feats, "obj_id": obj_id, "boxes": boxes}
+        if self._cache is not None:
+            self._cache[img_id] = out
+        return out
+
+    def close(self):
+        self._f.close()
+
+
 class ClusterMap:
     """img_id -> (n_grids,) cluster ids, from the kmeans pkl."""
 

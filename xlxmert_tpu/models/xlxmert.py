@@ -165,7 +165,7 @@ def pretrain_losses(out: Dict[str, jnp.ndarray], labels: Dict[str, jnp.ndarray],
         total += m
     elif task == "vis_mask":
         vis_total = jnp.float32(0.0)
-        if "obj" in visual_loss_keys:
+        if "obj" in visual_loss_keys and "obj_logits" in out:
             obj = cross_entropy_ignore(out["obj_logits"], labels["obj_labels"])
             losses["obj_loss"] = obj
             vis_total += obj

@@ -54,16 +54,23 @@ class TrainState(struct.PyTreeNode):
                    opt_state=tx.init(params), tx=tx)
 
 
-def _task_heads(task: str, task_qa: bool, visual_loss_keys) -> Tuple[str, ...]:
+def _task_heads(task: str, cfg: TrainConfig) -> Tuple[str, ...]:
     heads = []
     if task == "word_mask":
         heads.append("lm")
     elif task == "matched":
         heads.append("matched")
     elif task == "vis_mask":
-        heads.extend(k for k in ("obj", "feat", "attr")
-                     if k in visual_loss_keys)
-    if task_qa:
+        for k in ("obj", "feat", "attr"):
+            if k not in cfg.visual_loss_keys:
+                continue
+            # the obj loss needs a label source: cluster ids (clustering)
+            # or detector ids (--target_obj_id); otherwise the reference
+            # computes no obj loss (lxmert_pretrain.py:162-170)
+            if k == "obj" and not (cfg.clustering or cfg.target_obj_id):
+                continue
+            heads.append(k)
+    if cfg.task_qa:
         heads.append("qa")
     return tuple(heads)
 
@@ -74,7 +81,7 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
     """On-device input/label construction for one task — the jit-side
     equivalent of Trainer.forward's label_dict dispatch
     (lxmert_pretrain.py:143-225) plus the collate-side masking."""
-    n_cells = cfg.n_grids
+    n_cells = cfg.n_vis
     labels: Dict[str, jnp.ndarray] = {}
     cluster_id = batch.get("cluster_id")
 
@@ -106,8 +113,17 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
             vis_mask = (jax.random.uniform(rng, (input_ids.shape[0], n_cells))
                         < cfg.obj_mask_rate).astype(jnp.float32)
         if "obj" in cfg.visual_loss_keys:
-            labels["obj_labels"] = jnp.where(
-                vis_mask > 0, cluster_id, -100)
+            # clustering: labels are cluster ids; bbox path: detector obj
+            # ids via --target_obj_id (lxmert_pretrain.py:162-170)
+            if cfg.clustering:
+                obj_target = cluster_id
+            elif cfg.target_obj_id:
+                obj_target = batch["obj_id"]
+            else:
+                obj_target = None
+            if obj_target is not None:
+                labels["obj_labels"] = jnp.where(
+                    vis_mask > 0, obj_target, -100)
         if "attr" in cfg.visual_loss_keys:
             labels["attr_labels"] = jnp.where(
                 vis_mask > 0, batch["attr_label"], -100)
@@ -156,14 +172,14 @@ class PretrainEngine:
 
     # -- initialization -----------------------------------------------------
     def init_params(self, rng) -> Any:
-        B, L, V = 2, self.cfg.max_text_length, self.cfg.n_grids
+        B, L, V = 2, self.cfg.max_text_length, self.cfg.n_vis
         dummy_feats = jnp.zeros((B, V, self.model_cfg.visual_feat_dim),
                                 self.compute_dtype)
         dummy_centroids = jnp.zeros(
             (max(self.model_cfg.num_clusters, 1), self.model_cfg.visual_feat_dim))
         heads = set()
         for t in self.cfg.mask_modalities:
-            heads.update(_task_heads(t, self.cfg.task_qa, self.cfg.visual_loss_keys))
+            heads.update(_task_heads(t, self.cfg))
         variables = self.model.init(
             rng, jnp.ones((B, L), jnp.int32), dummy_feats,
             jnp.zeros((B, V, 4)),
@@ -198,7 +214,7 @@ class PretrainEngine:
     # -- steps ----------------------------------------------------------------
     def _make_step(self, task: str, train: bool):
         cfg, model = self.cfg, self.model
-        heads = _task_heads(task, cfg.task_qa, cfg.visual_loss_keys)
+        heads = _task_heads(task, cfg)
         box_pos = self.box_pos
         compute_dtype = self.compute_dtype
 
@@ -210,7 +226,10 @@ class PretrainEngine:
                 batch, rng, task, cfg, centroids, compute_dtype,
                 vocab_size=vocab_size, mask_token_id=mask_token_id)
             B = input_ids.shape[0]
-            pos = jnp.broadcast_to(box_pos[None], (B,) + box_pos.shape)
+            if "boxes" in batch:  # bbox path: real per-image positions
+                pos = batch["boxes"]
+            else:
+                pos = jnp.broadcast_to(box_pos[None], (B,) + box_pos.shape)
             out = model.apply(
                 {"params": params}, input_ids, vfeats, pos,
                 attention_mask=attn, vis_mask=vis_mask,
