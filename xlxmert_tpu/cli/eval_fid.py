@@ -21,7 +21,14 @@ def parse_args(argv=None):
     p.add_argument("--real_dir", required=True)
     p.add_argument("--fake_dir", required=True)
     p.add_argument("--weights", default=None,
-                   help="resnet50 .pth/.msgpack for the feature extractor")
+                   help="feature-extractor weights: InceptionV3 "
+                   "(pt_inception / torchvision inception_v3 .pth — the "
+                   "paper-comparable path) or resnet50 .pth/.msgpack")
+    p.add_argument("--extractor", choices=["auto", "inception", "resnet"],
+                   default="auto",
+                   help="auto detects from --weights layout (Mixed_* -> "
+                   "inception); without --weights, defaults to resnet "
+                   "random-init (relative mode)")
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--max_images", type=int, default=-1)
@@ -53,8 +60,11 @@ def main(argv=None):
     import jax
 
     from xlxmert_tpu.models.resnet import resnet50
-    from xlxmert_tpu.utils.fid import compute_fid, resnet_feature_fn
+    from xlxmert_tpu.utils.fid import (
+        compute_fid, inception_feature_fn, resnet_feature_fn,
+    )
 
+    kind = ns.extractor
     if ns.weights:
         from xlxmert_tpu.core.checkpoint import load_any_checkpoint
         from xlxmert_tpu.core.convert import split_variables
@@ -62,16 +72,32 @@ def main(argv=None):
         cols = split_variables(load_any_checkpoint(ns.weights))
         variables = {"params": cols["params"],
                      "batch_stats": cols.get("batch_stats", {})}
+        if kind == "auto":
+            kind = ("inception" if "Mixed_5b" in cols["params"]
+                    else "resnet")
+        print(f"extractor: {kind} ({ns.weights})")
     else:
         print("WARNING: random-init feature extractor (no --weights) — "
               "FID values are only comparable to each other, not to "
-              "published numbers")
-        model = resnet50()
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            np.zeros((1, ns.image_size, ns.image_size, 3), np.float32))
+              "published numbers. For paper-comparable FID pass "
+              "--weights pt_inception-2015-12-05-*.pth (InceptionV3 "
+              "pool3).")
+        if kind == "auto":
+            kind = "resnet"
+        if kind == "inception":
+            from xlxmert_tpu.models.inception import InceptionV3
 
-    fn = resnet_feature_fn(variables)
+            variables = InceptionV3().init(
+                jax.random.PRNGKey(0), np.zeros((1, 299, 299, 3),
+                                                np.float32))
+        else:
+            model = resnet50()
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                np.zeros((1, ns.image_size, ns.image_size, 3), np.float32))
+
+    fn = (inception_feature_fn(variables) if kind == "inception"
+          else resnet_feature_fn(variables))
     fid = compute_fid(
         image_batches(ns.real_dir, ns.image_size, ns.batch_size,
                       ns.max_images),

@@ -1,0 +1,246 @@
+"""InceptionV3 (pool3) in flax — the standard FID feature extractor.
+
+The x-lxmert paper's generation metric is COCO FID over InceptionV3
+pool3 (2048-d) activations; the reference repo ships no FID code
+(VERDICT r2 missing #3), so this module provides the
+literature-comparable extractor for utils/fid.py + cli/eval_fid.py.
+
+Structure and parameter naming mirror torchvision `inception_v3`
+(Conv2d_1a_3x3 ... Mixed_7c, BasicConv2d = bias-free conv + BN(1e-3)),
+so both weight releases convert mechanically through core/convert.py:
+  - torchvision `inception_v3_google-*.pth` (1000 classes), and
+  - pytorch-fid's `pt_inception-2015-12-05-*.pth` (1008 classes, the
+    TF-ported weights every published FID uses) — same layout.
+
+`fid_variant=True` (default) applies pytorch-fid's block patches: the
+in-block 3x3 average pools exclude padding from the divisor
+(count_include_pad=False), matching the original TF graph. AuxLogits
+exists only in checkpoints and is dropped by the converter.
+
+FID protocol (pytorch-fid defaults, documented for comparability):
+images in [0, 1] -> bilinear resize to 299x299 -> scale to [-1, 1] ->
+forward -> global average pool -> (N, 2048) `pool3` features.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xlxmert_tpu.models.resnet import _BN
+
+Dtype = Any
+
+
+class BasicConv2d(nn.Module):
+    """conv(bias-free) + BN(eps=1e-3) + relu (torchvision BasicConv2d)."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        h = _BN(self.features, eps=1e-3, dtype=self.dtype, name="bn")(h)
+        return nn.relu(h)
+
+
+def _avg3(x, fid_variant: bool):
+    return nn.avg_pool(x, (3, 3), strides=(1, 1),
+                       padding=[(1, 1), (1, 1)],
+                       count_include_pad=not fid_variant)
+
+
+def _max3s2(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2))
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+    fid_variant: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b1 = BasicConv2d(64, (1, 1), dtype=d, name="branch1x1")(x)
+        b5 = BasicConv2d(48, (1, 1), dtype=d, name="branch5x5_1")(x)
+        b5 = BasicConv2d(64, (5, 5), padding=(2, 2), dtype=d,
+                         name="branch5x5_2")(b5)
+        b3 = BasicConv2d(64, (1, 1), dtype=d, name="branch3x3dbl_1")(x)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), dtype=d,
+                         name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), dtype=d,
+                         name="branch3x3dbl_3")(b3)
+        bp = _avg3(x, self.fid_variant)
+        bp = BasicConv2d(self.pool_features, (1, 1), dtype=d,
+                         name="branch_pool")(bp)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b3 = BasicConv2d(384, (3, 3), strides=(2, 2), dtype=d,
+                         name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), dtype=d, name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding=(1, 1), dtype=d,
+                         name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), strides=(2, 2), dtype=d,
+                         name="branch3x3dbl_3")(bd)
+        return jnp.concatenate([b3, bd, _max3s2(x)], axis=-1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+    fid_variant: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d, c7 = self.dtype, self.channels_7x7
+        b1 = BasicConv2d(192, (1, 1), dtype=d, name="branch1x1")(x)
+        b7 = BasicConv2d(c7, (1, 1), dtype=d, name="branch7x7_1")(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), dtype=d,
+                         name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), dtype=d,
+                         name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (1, 1), dtype=d, name="branch7x7dbl_1")(x)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), dtype=d,
+                         name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), dtype=d,
+                         name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), dtype=d,
+                         name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3), dtype=d,
+                         name="branch7x7dbl_5")(bd)
+        bp = _avg3(x, self.fid_variant)
+        bp = BasicConv2d(192, (1, 1), dtype=d, name="branch_pool")(bp)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b3 = BasicConv2d(192, (1, 1), dtype=d, name="branch3x3_1")(x)
+        b3 = BasicConv2d(320, (3, 3), strides=(2, 2), dtype=d,
+                         name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 1), dtype=d, name="branch7x7x3_1")(x)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), dtype=d,
+                         name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), dtype=d,
+                         name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), strides=(2, 2), dtype=d,
+                         name="branch7x7x3_4")(b7)
+        return jnp.concatenate([b3, b7, _max3s2(x)], axis=-1)
+
+
+class InceptionE(nn.Module):
+    # pytorch-fid patches the LAST E block (Mixed_7c) to use a 3x3 MAX
+    # pool in the pool branch (TF-graph fidelity); Mixed_7b keeps avg.
+    pool_mode: str = "avg"  # "avg" | "max"
+    fid_variant: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b1 = BasicConv2d(320, (1, 1), dtype=d, name="branch1x1")(x)
+        b3 = BasicConv2d(384, (1, 1), dtype=d, name="branch3x3_1")(x)
+        b3 = jnp.concatenate([
+            BasicConv2d(384, (1, 3), padding=(0, 1), dtype=d,
+                        name="branch3x3_2a")(b3),
+            BasicConv2d(384, (3, 1), padding=(1, 0), dtype=d,
+                        name="branch3x3_2b")(b3)], axis=-1)
+        bd = BasicConv2d(448, (1, 1), dtype=d, name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(384, (3, 3), padding=(1, 1), dtype=d,
+                         name="branch3x3dbl_2")(bd)
+        bd = jnp.concatenate([
+            BasicConv2d(384, (1, 3), padding=(0, 1), dtype=d,
+                        name="branch3x3dbl_3a")(bd),
+            BasicConv2d(384, (3, 1), padding=(1, 0), dtype=d,
+                        name="branch3x3dbl_3b")(bd)], axis=-1)
+        if self.pool_mode == "max" and self.fid_variant:
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1),
+                             padding=[(1, 1), (1, 1)])
+        else:
+            bp = _avg3(x, self.fid_variant)
+        bp = BasicConv2d(192, (1, 1), dtype=d, name="branch_pool")(bp)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """Torchvision-layout InceptionV3; `features` returns pool3 (N, 2048).
+
+    num_classes: 1000 (torchvision weights) or 1008 (pt_inception FID
+    weights); the fc head is unused for FID but kept so strict
+    conversion accounting holds.
+    """
+
+    num_classes: int = 1008
+    fid_variant: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, return_logits: bool = False):
+        d, fv = self.dtype, self.fid_variant
+        h = BasicConv2d(32, (3, 3), strides=(2, 2), dtype=d,
+                        name="Conv2d_1a_3x3")(x)
+        h = BasicConv2d(32, (3, 3), dtype=d, name="Conv2d_2a_3x3")(h)
+        h = BasicConv2d(64, (3, 3), padding=(1, 1), dtype=d,
+                        name="Conv2d_2b_3x3")(h)
+        h = _max3s2(h)
+        h = BasicConv2d(80, (1, 1), dtype=d, name="Conv2d_3b_1x1")(h)
+        h = BasicConv2d(192, (3, 3), dtype=d, name="Conv2d_4a_3x3")(h)
+        h = _max3s2(h)
+        h = InceptionA(32, fv, d, name="Mixed_5b")(h)
+        h = InceptionA(64, fv, d, name="Mixed_5c")(h)
+        h = InceptionA(64, fv, d, name="Mixed_5d")(h)
+        h = InceptionB(d, name="Mixed_6a")(h)
+        h = InceptionC(128, fv, d, name="Mixed_6b")(h)
+        h = InceptionC(160, fv, d, name="Mixed_6c")(h)
+        h = InceptionC(160, fv, d, name="Mixed_6d")(h)
+        h = InceptionC(192, fv, d, name="Mixed_6e")(h)
+        h = InceptionD(d, name="Mixed_7a")(h)
+        h = InceptionE("avg", fv, d, name="Mixed_7b")(h)
+        h = InceptionE("max", fv, d, name="Mixed_7c")(h)
+        pool3 = h.mean(axis=(1, 2))  # adaptive avg pool to 1x1
+        if return_logits:
+            return nn.Dense(self.num_classes, dtype=d, name="fc")(pool3)
+        return pool3
+
+
+def preprocess_for_fid(images: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] NHWC images -> 299x299 in [-1,1] (pytorch-fid defaults:
+    bilinear resize WITHOUT antialiasing + normalize_input)."""
+    import jax
+
+    B, H, W, C = images.shape
+    if (H, W) != (299, 299):
+        images = jax.image.resize(images, (B, 299, 299, C), "bilinear")
+    return images * 2.0 - 1.0
+
+
+def convert_inception_state_dict(state_dict) -> dict:
+    """Torch inception_v3 state_dict (torchvision or pt_inception FID
+    weights) -> flax variables {params, batch_stats}. AuxLogits is
+    checkpoint-only and dropped."""
+    from xlxmert_tpu.core.convert import (
+        convert_torch_state_dict, split_variables,
+    )
+
+    kept = {k: v for k, v in state_dict.items()
+            if not k.startswith("AuxLogits.")}
+    return split_variables(convert_torch_state_dict(kept))

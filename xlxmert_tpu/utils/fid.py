@@ -67,6 +67,26 @@ def compute_fid(
     return fid_from_features(real, fake)
 
 
+def inception_feature_fn(variables):
+    """Literature-comparable FID extractor: InceptionV3 pool3 with the
+    pytorch-fid protocol (models/inception.py — resize 299 bilinear,
+    [-1,1], fid-variant pooling). Pass converted pt_inception /
+    torchvision weights for published-number comparability."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.models.inception import InceptionV3, preprocess_for_fid
+
+    model = InceptionV3(fid_variant=True)
+
+    @jax.jit
+    def fn(images):
+        return model.apply(variables,
+                           preprocess_for_fid(jnp.asarray(images)))
+
+    return fn
+
+
 def resnet_feature_fn(variables, dtype=None):
     """Feature extractor built on models/resnet.py (pooled layer4).
     Relative-comparison FID only — not comparable to Inception-FID
