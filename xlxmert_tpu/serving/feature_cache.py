@@ -58,6 +58,10 @@ class FeatureCache:
         would retain every fp32 row alongside the staged table,
         tripling peak host memory."""
         img_ids = [str(i) for i in img_ids]
+        if not img_ids:
+            raise ValueError("FeatureCache.build: empty img_ids — nothing "
+                             "to cache (does the query set reference any "
+                             "images?)")
         first = np.asarray(reader.get(img_ids[0]), np.float32)
         v = first.shape[0] * first.shape[1]
         n = len(img_ids)

@@ -159,9 +159,12 @@ class FinetuneEngine:
     def place(self, batch):
         return shard_batch(batch, self.mesh)
 
-    def _make_int8_predict(self, params, calib_batch):
+    def _make_int8_predict(self, params, calib_batches):
         """Build a jitted int8 predict step (serving/lxmert_int8.py),
-        statically calibrated on `calib_batch`. Opt-in for eval/test
+        statically calibrated on `calib_batches` (a list — predict()
+        accumulates the first few eval batches so the scales don't
+        depend on one possibly-unrepresentative batch, advisor r2).
+        Opt-in for eval/test
         dumps (--serve_int8): answer agreement with the fp32 path is
         pinned >=0.8 in tests on tiny random weights (near-tie margins)
         and measured 1.00 on-chip (vqa + nlvr2); the measured win is
@@ -192,8 +195,8 @@ class FinetuneEngine:
                     n_heads=n_heads)
                 return engine.answer_head_forward(hqp_, pooled)
 
-        calib = engine.calibrate_forward(fwd, (qp, hqp),
-                                         [unpack(calib_batch)])
+        calib = engine.calibrate_forward(
+            fwd, (qp, hqp), [unpack(b) for b in calib_batches])
         sqp = engine.apply_calibration(qp, calib)
         shqp = engine.apply_calibration(hqp, calib)
         engine.assert_fully_calibrated(sqp, shqp)
@@ -208,26 +211,47 @@ class FinetuneEngine:
 
     # -- loops ----------------------------------------------------------------
     def predict(self, params, batches: Iterable[Dict[str, Any]],
-                label2ans=None, int8: bool = False) -> Dict[Any, Any]:
+                label2ans=None, int8: bool = False,
+                calib_batches: int = 4) -> Dict[Any, Any]:
         """Run prediction over host batches; returns quesid->answer
         (mapped through label2ans when given, else raw label ids).
         Mirrors Trainer.predict (vqa.py:259-295). int8=True serves
-        through the static-calibrated int8 engine (calibrated on the
-        first batch)."""
+        through the static-calibrated int8 engine; activation scales are
+        calibrated over the first `calib_batches` batches (held back,
+        then served through the calibrated step) so a single first batch
+        cannot skew the scales for the whole dump."""
         step = None if int8 else self.predict_step()
         int8_step = None
+        held: list = []
         quesid2ans: Dict[Any, Any] = {}
+
+        def emit(qids, n_valid, preds):
+            for i, qid in enumerate(qids[:n_valid]):
+                p = int(preds[i])
+                quesid2ans[qid] = label2ans[p] if label2ans is not None else p
+
         for batch in batches:
             qids = batch.pop("question_ids")
             n_valid = batch.pop("n_valid", len(qids))
             if int8:
                 if int8_step is None:
-                    int8_step = self._make_int8_predict(params, batch)
+                    held.append((qids, n_valid, batch))
+                    if len(held) < calib_batches:
+                        continue
+                    int8_step = self._make_int8_predict(
+                        params, [b for _, _, b in held])
+                    for hq, hn, hb in held:
+                        emit(hq, hn, np.asarray(int8_step(hb)))
+                    held = []
+                    continue
                 preds = np.asarray(int8_step(batch))
             else:
                 preds, _ = step(params, self.place(batch))
                 preds = np.asarray(preds)
-            for i, qid in enumerate(qids[:n_valid]):
-                p = int(preds[i])
-                quesid2ans[qid] = label2ans[p] if label2ans is not None else p
+            emit(qids, n_valid, preds)
+        if held:  # stream shorter than the calibration window
+            int8_step = self._make_int8_predict(
+                params, [b for _, _, b in held])
+            for hq, hn, hb in held:
+                emit(hq, hn, np.asarray(int8_step(hb)))
         return quesid2ans
