@@ -325,11 +325,27 @@ def measure_sampling(cfg):
 
     sps_i8 = timed(run_i8, (ssp, centroids, g_params, g_sn, ids, mask))
     sps_bf16 = timed(run, (params, centroids, g_params, g_sn, ids, mask))
+
+    # fast-render variant (models/gan.render_mode cap=32): SPADE
+    # modulation computed at 32x32 and upsampled — measured mean pixel
+    # deviation 2.15e-3, under the 8-bit PNG quantum (7.9e-3); -22%
+    # render time (scripts/drive_render_opt.py). Reported separately;
+    # the headline sampling number stays the exact-render path.
+    from xlxmert_tpu.models import gan as gan_mod
+
+    gan_mod.render_mode(32)
+    try:
+        run_i8_fast = jax.jit(run_i8.__wrapped__)
+        sps_fast = timed(run_i8_fast,
+                         (ssp, centroids, g_params, g_sn, ids, mask))
+    finally:
+        gan_mod.render_mode(None)
+
     path = "int8_static"
     sps = sps_i8
     if sps_bf16 > sps_i8:  # safety: never report a regression path
         sps, path = sps_bf16, "bf16"
-    return sps, sps_bf16, path
+    return sps, sps_bf16, path, sps_fast
 
 
 def measure_pretrain(cfg):
@@ -384,7 +400,7 @@ def main():
 
     cfg = LxmertConfig()
     qps, qps_bf16, path = measure_vqa(cfg)
-    samples_per_sec, sps_bf16, s_path = measure_sampling(cfg)
+    samples_per_sec, sps_bf16, s_path, sps_fast = measure_sampling(cfg)
     train_ex_s = measure_pretrain(cfg)
 
     fps = flops_per_sample(cfg)
@@ -404,6 +420,7 @@ def main():
             "sampling_samples_per_sec": round(samples_per_sec, 1),
             "sampling_path": s_path,
             "sampling_bf16_samples_per_sec": round(sps_bf16, 1),
+            "sampling_fast_render_samples_per_sec": round(sps_fast, 1),
             "sampling_vs_baseline": round(
                 samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3),
             "pretrain_examples_per_sec": round(train_ex_s, 1),

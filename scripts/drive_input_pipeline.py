@@ -160,7 +160,10 @@ def main():
     for r in range(args.rounds):
         t0 = time.time()
         n_steps = 0
-        for stacked in grouped(200 + r):
+        # prefetch PLACED groups too: stacking + device upload overlap
+        # with the running step instead of serializing after it
+        for stacked in PrefetchLoader(lambda s=r: grouped(200 + s),
+                                      depth=2):
             state, loss = step_fn(state, stacked, rng_key, centroids)
             n_steps += args.chain
         float(np.asarray(loss))  # drain

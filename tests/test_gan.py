@@ -159,3 +159,37 @@ def test_generator_grad_flows():
     g = jax.grad(loss)(variables["params"])
     norms = [float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)]
     assert sum(n > 0 for n in norms) > len(norms) * 0.5
+
+
+def test_render_mod_cap_fast_mode():
+    """models/gan.render_mode: capped-modulation render uses the SAME
+    params, deviates only slightly from the exact render (gamma/beta are
+    smooth fields — their input is a bilinear upsampling of the 8x8 code
+    map), and cap=None restores exact numerics bit-for-bit."""
+    from xlxmert_tpu.models import gan as gan_mod
+
+    gen = Generator(emb_dim=48, base_dim=16, target_size=64, init_H=8,
+                    init_W=8, codebook_dim=24, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    code = jax.random.normal(rng, (2, 8, 8, 48)) * 0.3
+    variables = gen.init({"params": rng, "noise": rng}, code, train=False)
+
+    try:
+        gan_mod.render_mode(None)
+        exact = np.asarray(gen.apply(variables, code, train=False))
+        exact2 = np.asarray(gen.apply(variables, code, train=False))
+        np.testing.assert_array_equal(exact, exact2)
+
+        gan_mod.render_mode(16)
+        fast = np.asarray(gen.apply(variables, code, train=False))
+        # same param tree: apply above would have failed otherwise; the
+        # outputs deviate, but stay close on the [-1, 1] pixel scale
+        d = np.abs(fast - exact)
+        assert 0 < d.mean() < 0.05, d.mean()
+        assert d.max() < 0.5, d.max()
+
+        gan_mod.render_mode(None)
+        back = np.asarray(gen.apply(variables, code, train=False))
+        np.testing.assert_array_equal(back, exact)
+    finally:
+        gan_mod.render_mode(None)

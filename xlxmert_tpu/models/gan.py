@@ -164,6 +164,25 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
+# Serving-mode render switch (see models/lxmert.py for the pattern).
+# RENDER_MOD_CAP caps the resolution at which SPADE computes its gamma/
+# beta modulation convs; the resulting maps are bilinearly upsampled to
+# the block resolution. The modulation input is itself a bilinear
+# upsampling of the 8x8 code map, so gamma/beta are smooth fields and
+# the approximation error is tiny (measured on TPU, cap=64 vs exact at
+# 256px output: mean |delta| ~2e-3 of the [-1,1] pixel range; see
+# scripts/drive_render_opt.py) — while the SPADE convs are ~90% of the
+# render FLOPs and run at the two largest resolutions otherwise.
+# None = exact reference numerics (training, parity tests, default).
+RENDER_MOD_CAP = None
+
+
+def render_mode(mod_cap: int | None = 64) -> None:
+    """Enable (or disable with None) the capped-modulation fast render."""
+    global RENDER_MOD_CAP
+    RENDER_MOD_CAP = mod_cap
+
+
 class SPADE(nn.Module):
     """layers.py:9-47. y (the code map) is bilinear-resized to x's size.
 
@@ -210,13 +229,19 @@ class SPADE(nn.Module):
             normalized = self._batch_norm(x, train)
         else:
             normalized = instance_norm(x.astype(jnp.float32)).astype(self.dtype)
-        y = resize_bilinear(y, (x.shape[1], x.shape[2]))
+        H, W = x.shape[1], x.shape[2]
+        cap = RENDER_MOD_CAP
+        mod_hw = ((min(H, cap), min(W, cap)) if cap else (H, W))
+        y = resize_bilinear(y, mod_hw)
         actv = nn.relu(SNConv(self.nhidden, 3, use_sn=False, dtype=self.dtype,
                               name="shared_0")(y))
         gamma = SNConv(self.x_dim, 3, use_sn=False, dtype=self.dtype,
                        name="gamma")(actv)
         beta = SNConv(self.x_dim, 3, use_sn=False, dtype=self.dtype,
                       name="beta")(actv)
+        if mod_hw != (H, W):
+            gamma = resize_bilinear(gamma, (H, W))
+            beta = resize_bilinear(beta, (H, W))
         return normalized * (1 + gamma) + beta
 
 
