@@ -170,7 +170,9 @@ def test_render_mod_cap_fast_mode():
 
     gen = Generator(emb_dim=48, base_dim=16, target_size=64, init_H=8,
                     init_W=8, codebook_dim=24, dtype=jnp.float32)
-    rng = jax.random.PRNGKey(0)
+    # pin the PRNG impl: CLI tests earlier in the suite switch the
+    # global default to rbg, which would change this init
+    rng = jax.random.key(0, impl="threefry2x32")  # typed key pins impl
     code = jax.random.normal(rng, (2, 8, 8, 48)) * 0.3
     variables = gen.init({"params": rng, "noise": rng}, code, train=False)
 
