@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--caps", default="64")
     ap.add_argument("--target", type=int, default=256)
+    ap.add_argument("--ablate", action="store_true",
+                    help="instance-norm attribution variants at cap=32")
     ns = ap.parse_args()
 
     import jax
@@ -103,6 +105,27 @@ def main():
               f"max {d.max():.2e} (pixel range [-1,1], png quantum "
               f"7.9e-3)", flush=True)
     gan_mod.render_mode(None)
+
+    if ns.ablate:
+        # attribution: what do the instance norms cost at cap=32?
+        orig_in = gan_mod.instance_norm
+        gan_mod.render_mode(32)
+        try:
+            gan_mod.instance_norm = lambda x, eps=1e-5: x  # identity
+            per = timed(make_run())
+            print(f"cap32+no_IN   : {per*1000:7.2f} ms/batch "
+                  f"({B/per:8.1f} samples/s) [attribution only]",
+                  flush=True)
+            gan_mod.instance_norm = (
+                lambda x, eps=1e-5: orig_in(x.astype(jnp.bfloat16), eps))
+            per = timed(make_run())
+            d = np.abs(render_now() - img_exact)
+            print(f"cap32+IN_bf16 : {per*1000:7.2f} ms/batch "
+                  f"({B/per:8.1f} samples/s)  |delta| mean "
+                  f"{d.mean():.2e} max {d.max():.2e}", flush=True)
+        finally:
+            gan_mod.instance_norm = orig_in
+            gan_mod.render_mode(None)
 
 
 if __name__ == "__main__":

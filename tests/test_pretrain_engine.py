@@ -122,7 +122,7 @@ def test_non_clustering_with_feat_obj_attr_losses():
         visual_feat_dim=16, num_object_labels=23, num_attr_labels=7,
         num_clusters=0)
     cfg = TrainConfig(batch_size=8, grid_size=4, clustering=False,
-                      target_obj_id=True,
+                      target_obj_id=True, feed_exact_feat=True,
                       visual_losses="obj,attr,feat", max_text_length=10,
                       mixed_precision=False, lr=1e-3)
     eng = PretrainEngine(cfg, model_cfg=model_cfg, total_steps=20)

@@ -75,6 +75,11 @@ def main(argv=None):
         if kind == "auto":
             kind = ("inception" if "Mixed_5b" in cols["params"]
                     else "resnet")
+        if kind == "inception":
+            # AuxLogits is checkpoint-only (same drop as
+            # models.inception.convert_inception_state_dict)
+            for col in variables.values():
+                col.pop("AuxLogits", None)
         print(f"extractor: {kind} ({ns.weights})")
     else:
         print("WARNING: random-init feature extractor (no --weights) — "

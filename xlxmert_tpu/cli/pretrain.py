@@ -22,6 +22,25 @@ def main(argv=None):
 
     ns = base_parser().parse_args(argv)
     cfg = to_train_config(ns)
+    if "attr" in cfg.visual_loss_keys:
+        # no loader emits attr labels: the reference's data_out never
+        # includes 'attr_prob', so its attr loss is unreachable from
+        # main_worker too (lxmert_pretrain.py:723-741 vs
+        # lxmert_data.py:632-634). The out_attr head stays available to
+        # API callers that supply batch['attr_label'] themselves.
+        raise SystemExit(
+            "--visualLosses attr: no pretraining data path provides "
+            "attr labels (true of the reference as well); drop 'attr' "
+            "or drive PretrainEngine directly with attr_label batches")
+    if not cfg.clustering and not (cfg.feed_exact_feat
+                                   or cfg.target_exact_feat):
+        # the reference only loads bbox-h5 features under these flags
+        # (lxmert_pretrain.py:733, lxmert_data.py:185) and the
+        # non-clustering model input IS those features
+        raise SystemExit(
+            "non-clustering pretraining needs --feed_exact_feat and/or "
+            "--target_exact_feat (exact detector features are the "
+            "visual input on this path)")
 
     import jax
     import jax.numpy as jnp

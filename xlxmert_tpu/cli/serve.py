@@ -101,8 +101,9 @@ def main(argv=None):
     t0 = time.time()
     cache = FeatureCache.build(reader, referenced, dtype=jnp.bfloat16)
     grid = int(np.sqrt(cache.table.shape[1]))
-    print(f"feature cache: {cache.table.shape[0]} images "
-          f"(of {len(reader.keys())} in the h5), "
+    # (no catalog-wide key enumeration here: the referenced-only cache
+    # exists precisely to avoid touching the full h5)
+    print(f"feature cache: {cache.table.shape[0]} referenced images, "
           f"{cache.nbytes/1e6:.0f} MB HBM, {time.time()-t0:.1f}s")
 
     params = load_any_checkpoint(ns.load)

@@ -170,6 +170,18 @@ class TrainConfig(_YamlMixin):
     # on-host data paths
     data_root: str = "data"
 
+    def __post_init__(self):
+        if self.clustering and not self.grid_model:
+            # cluster-id grids are grid_size^2 while the bbox path is
+            # n_boxes visual tokens; the reference never mixes them (its
+            # loader keys features on grid_model and cluster pkls on
+            # clustering — lxmert_data.py:185-205 — and pretrain.bash
+            # always passes both flags). Fail early instead of a shape
+            # error inside the jitted step.
+            raise ValueError(
+                "clustering pretraining requires grid_model=True "
+                "(--grid_model): cluster ids are grid_size^2 grids")
+
     @property
     def n_grids(self) -> int:
         return self.grid_size ** 2

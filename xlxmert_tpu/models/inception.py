@@ -229,7 +229,10 @@ def preprocess_for_fid(images: jnp.ndarray) -> jnp.ndarray:
 
     B, H, W, C = images.shape
     if (H, W) != (299, 299):
-        images = jax.image.resize(images, (B, 299, 299, C), "bilinear")
+        # antialias=False: pytorch-fid's F.interpolate(bilinear) does
+        # not filter on downsampling, and jax defaults to antialias=True
+        images = jax.image.resize(images, (B, 299, 299, C), "bilinear",
+                                  antialias=False)
     return images * 2.0 - 1.0
 
 

@@ -169,12 +169,12 @@ def pretrain_losses(out: Dict[str, jnp.ndarray], labels: Dict[str, jnp.ndarray],
             obj = cross_entropy_ignore(out["obj_logits"], labels["obj_labels"])
             losses["obj_loss"] = obj
             vis_total += obj
-        if "attr" in visual_loss_keys:
+        if "attr" in visual_loss_keys and "attr_labels" in labels:
             attr = cross_entropy_ignore(out["attr_logits"],
                                         labels["attr_labels"])
             losses["attr_loss"] = attr
             vis_total += attr
-        if "feat" in visual_loss_keys:
+        if "feat" in visual_loss_keys and "feat_labels" in labels:
             fl = masked_feat_loss(out["feat_pred"], labels["feat_labels"],
                                   labels["vis_mask"])
             losses["feat_loss"] = fl

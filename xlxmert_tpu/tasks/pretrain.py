@@ -69,6 +69,14 @@ def _task_heads(task: str, cfg: TrainConfig) -> Tuple[str, ...]:
             # computes no obj loss (lxmert_pretrain.py:162-170)
             if k == "obj" and not (cfg.clustering or cfg.target_obj_id):
                 continue
+            # the feat loss needs exact-feature labels: grid h5 feats
+            # (clustering) or the bbox h5 via --feed_exact_feat /
+            # --target_exact_feat — in the reference either flag loads
+            # the features and their presence alone enables the loss
+            # (lxmert_pretrain.py:196-199,733, lxmert_data.py:185)
+            if k == "feat" and not (cfg.clustering or cfg.feed_exact_feat
+                                    or cfg.target_exact_feat):
+                continue
             heads.append(k)
     if cfg.task_qa:
         heads.append("qa")
@@ -124,10 +132,16 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
             if obj_target is not None:
                 labels["obj_labels"] = jnp.where(
                     vis_mask > 0, obj_target, -100)
-        if "attr" in cfg.visual_loss_keys:
+        # attr labels have no loader source in the reference either —
+        # its data_out never includes 'attr_prob', so batch['attr_label']
+        # only exists when an API caller supplies it
+        # (lxmert_pretrain.py:723-741 vs lxmert_data.py:632-634)
+        if "attr" in cfg.visual_loss_keys and "attr_label" in batch:
             labels["attr_labels"] = jnp.where(
                 vis_mask > 0, batch["attr_label"], -100)
-        if "feat" in cfg.visual_loss_keys:
+        if "feat" in cfg.visual_loss_keys and (
+                cfg.clustering or cfg.feed_exact_feat
+                or cfg.target_exact_feat):
             labels["feat_labels"] = batch["vis_feats"]
             labels["vis_mask"] = vis_mask
     else:
