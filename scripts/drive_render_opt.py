@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--target", type=int, default=256)
     ap.add_argument("--ablate", action="store_true",
                     help="instance-norm attribution variants at cap=32")
+    ap.add_argument("--pack", action="store_true",
+                    help="also measure phase-packed conv lowering "
+                         "(exact math) for exact and capped renders")
     ns = ap.parse_args()
 
     import jax
@@ -105,6 +108,26 @@ def main():
               f"max {d.max():.2e} (pixel range [-1,1], png quantum "
               f"7.9e-3)", flush=True)
     gan_mod.render_mode(None)
+
+    if ns.pack:
+        try:
+            gan_mod.conv_pack_mode(True)
+            gan_mod.render_mode(None)
+            per = timed(make_run())
+            d = np.abs(render_now() - img_exact)
+            print(f"exact+pack    : {per*1000:7.2f} ms/batch "
+                  f"({B/per:8.1f} samples/s)  |delta| mean {d.mean():.2e} "
+                  f"max {d.max():.2e} (bf16 rounding only)", flush=True)
+            for cap in ns.caps.split(","):
+                gan_mod.render_mode(int(cap))
+                per = timed(make_run())
+                d = np.abs(render_now() - img_exact)
+                print(f"cap={int(cap):4d}+pack : {per*1000:7.2f} ms/batch "
+                      f"({B/per:8.1f} samples/s)  |delta| mean "
+                      f"{d.mean():.2e} max {d.max():.2e}", flush=True)
+        finally:
+            gan_mod.conv_pack_mode(False)
+            gan_mod.render_mode(None)
 
     if ns.ablate:
         # attribution: what do the instance norms cost at cap=32?

@@ -195,3 +195,40 @@ def test_render_mod_cap_fast_mode():
         np.testing.assert_array_equal(back, exact)
     finally:
         gan_mod.render_mode(None)
+
+
+def test_conv_pack_mode_is_exact():
+    """Phase-packed conv lowering (gan.conv_pack_mode) is the SAME math:
+    generator outputs match the plain lowering to fp32 rounding, and
+    disabling restores the original graph bit-for-bit."""
+    from xlxmert_tpu.models import gan as gan_mod
+
+    # even resolutions throughout (8 -> 16 -> 32 -> 64)
+    gen = Generator(emb_dim=48, base_dim=32, target_size=64, init_H=8,
+                    init_W=8, codebook_dim=24, dtype=jnp.float32)
+    rng = jax.random.key(0, impl="threefry2x32")
+    code = jax.random.normal(rng, (2, 8, 8, 48)) * 0.3
+    variables = gen.init({"params": rng, "noise": rng}, code, train=False)
+
+    # direct helper check at an odd batch of shapes
+    x = jax.random.normal(rng, (3, 10, 14, 32))
+    w = jax.random.normal(jax.random.key(1, impl="threefry2x32"),
+                          (3, 3, 32, 32)) * 0.1
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = gan_mod.phase_packed_conv3x3(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=0)
+
+    try:
+        gan_mod.conv_pack_mode(False)
+        exact = np.asarray(gen.apply(variables, code, train=False))
+        gan_mod.conv_pack_mode(True)
+        packed = np.asarray(gen.apply(variables, code, train=False))
+        np.testing.assert_allclose(packed, exact, atol=5e-5, rtol=0)
+
+        gan_mod.conv_pack_mode(False)
+        back = np.asarray(gen.apply(variables, code, train=False))
+        np.testing.assert_array_equal(back, exact)
+    finally:
+        gan_mod.conv_pack_mode(False)

@@ -147,11 +147,17 @@ class SNConv(nn.Module):
             sigma = u @ (w_mat @ v)
             kernel = kernel / sigma
 
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.feature_group_count)
+        if (RENDER_CONV_PACK and k == 3 and self.feature_group_count == 1
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and self.features <= 32):
+            y = phase_packed_conv3x3(x.astype(self.dtype),
+                                     kernel.astype(self.dtype))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count)
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
@@ -181,6 +187,61 @@ def render_mode(mod_cap: int | None = 64) -> None:
     """Enable (or disable with None) the capped-modulation fast render."""
     global RENDER_MOD_CAP
     RENDER_MOD_CAP = mod_cap
+
+
+# EXACT-math conv rewrite for the narrow render convs. With base_dim=32
+# every main conv is 32->32: a quarter of the 128 MXU lanes. A 3x3
+# stride-1 conv equals a 4x4 stride-2 conv producing all four 2x2 output
+# phases as channels (Cout -> 4*Cout, padding (1,2)) followed by a
+# depth-to-space interleave — 16/9 more MACs but full 128-lane tiles.
+# MEASURED OUTCOME (TPU v5e, B=64): the isolated conv wins big — at
+# (64, 256, 256, 32->32) loop-carried, 19.0 -> 9.4 ms (2.01x, max fp32
+# |err| 8.9e-8; scripts/drive_render_conv_probe.py) — but IN THE FULL
+# RENDER it LOSES: exact render 37.5 -> 53.0 ms (0.71x), cap=32 render
+# 28.8 -> 30.5 ms (0.94x) (scripts/drive_render_opt.py --pack). In
+# context XLA already lowers these convs far better than the isolated
+# baseline (the 19 ms standalone conv is a fusion artifact, not the
+# render's real per-conv cost), and the packed form's depth-to-space
+# transpose adds materialized passes. Kept opt-in as the measured
+# record; off by default — training/parity graphs untouched.
+RENDER_CONV_PACK = False
+
+
+def conv_pack_mode(enable: bool = True) -> None:
+    """Enable (or disable) phase-packed lowering of narrow 3x3 convs."""
+    global RENDER_CONV_PACK
+    RENDER_CONV_PACK = enable
+
+
+def _phase_pack_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Cin,Cout) -> (4,4,Cin,2,2,Cout) phase-packed kernel.
+
+    out[2i+dy, 2j+dx] = sum_{u,v} w[u,v] x[2i+dy+u-1, 2j+dx+v-1]; with
+    4x4 patches anchored at x[2i-1, 2j-1], entry (r, c) serves phase
+    (dy, dx) with tap w[r-dy, c-dx].
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    phases = []
+    for dy in range(2):
+        for dx in range(2):
+            phases.append(jnp.pad(
+                w, ((dy, 1 - dy), (dx, 1 - dx), (0, 0), (0, 0))))
+    wb = jnp.stack(phases, axis=3)  # (4,4,cin,4,cout)
+    return wb.reshape(4, 4, cin, 2, 2, cout)
+
+
+def phase_packed_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Exact 3x3 SAME stride-1 conv via the phase-packed 4x4 stride-2
+    form (requires even H and W)."""
+    B, H, W, _ = x.shape
+    cout = kernel.shape[-1]
+    wp = _phase_pack_kernel(kernel).reshape(4, 4, kernel.shape[2], 4 * cout)
+    y = jax.lax.conv_general_dilated(
+        x, wp.astype(x.dtype), window_strides=(2, 2),
+        padding=((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.reshape(B, H // 2, W // 2, 2, 2, cout)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, cout)
 
 
 class SPADE(nn.Module):
