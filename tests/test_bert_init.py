@@ -144,3 +144,29 @@ def test_bare_bertmodel_state_dict(bert_pair):
         tree["bert"]["encoder"]["layer_0"]["attention"]["self"]["query"]
             ["kernel"])
     assert "cls" not in bare  # no heads in a bare BertModel
+
+
+def test_oldstyle_gamma_beta_layernorm_keys(bert_pair):
+    """The canonical 2019-era bert-base-uncased pytorch_model.bin names
+    LayerNorm params `gamma`/`beta` (modern transformers exports use
+    `weight`/`bias`); both vintages must convert identically."""
+    tmodel, tree = bert_pair
+    sd = tmodel.state_dict()
+    old = {}
+    for k, v in sd.items():
+        if "LayerNorm" in k and k.endswith(".weight"):
+            k = k[:-7] + ".gamma"
+        elif "LayerNorm" in k and k.endswith(".bias"):
+            k = k[:-5] + ".beta"
+        old[k] = v
+    assert any(k.endswith(".gamma") for k in old)  # vintage layout made
+    got = load_bert_state_dict(old, l_layers=L_LAYERS)
+    ln = got["bert"]["encoder"]["layer_0"]["attention"]["output"]
+    ref = tree["bert"]["encoder"]["layer_0"]["attention"]["output"]
+    np.testing.assert_array_equal(ln["LayerNorm"]["scale"],
+                                  ref["LayerNorm"]["scale"])
+    np.testing.assert_array_equal(ln["LayerNorm"]["bias"],
+                                  ref["LayerNorm"]["bias"])
+    np.testing.assert_array_equal(
+        got["bert"]["embeddings"]["LayerNorm"]["scale"],
+        tree["bert"]["embeddings"]["LayerNorm"]["scale"])

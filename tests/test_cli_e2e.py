@@ -216,6 +216,29 @@ def test_step3c_pretrain_bbox_path(world):
     assert any("valid/vis_mask" in s for s in scalars)
 
 
+def test_step3d_pretrain_grid_exact_feat_path(world):
+    """The non-clustering GRID variant (reference lxmert_data.py:186-193
+    routes grid_model runs to grid h5): exact grid features as the
+    visual input + masked-feature regression, no cluster vocabulary."""
+    from xlxmert_tpu.cli.pretrain import main
+
+    grid_h5 = world / "mscoco_imgfeat" / "maskrcnn_train_grid2.h5"
+    out = world / "snap_gridfeat"
+    main(["--taskMaskLM", "--taskObjPredict", "--taskMatched",
+          "--visualLosses", "feat", "--vis_mask_predict",
+          "--grid_model", "--grid_size", str(GRID),
+          "--feed_exact_feat", "--target_exact_feat",
+          "--grid_h5", str(grid_h5),
+          "--epochs", "1", "--batchSize", "8",
+          "--train", "mscoco_train", "--valid", "mscoco_minival",
+          "--data_root", str(world), "--vocab", str(world / "vocab.txt"),
+          "--model_config", str(world / "model.yaml"),
+          "--output", str(out), "--fp32", "--seed", "1", "--fromScratch"])
+    assert (out / "Epoch01_LXRT.msgpack").exists()
+    scalars = [json.loads(l) for l in open(out / "scalars.jsonl")]
+    assert any("valid/vis_mask" in s for s in scalars)
+
+
 def test_step4_vqa_finetune_and_test(world):
     from xlxmert_tpu.cli.vqa import main
 

@@ -251,3 +251,43 @@ def test_pretrain_dataset_requires_one_visual_source(fixtures):
     _, tok, corpus = fixtures
     with pytest.raises(ValueError):
         PretrainDataset(corpus, tok)
+
+
+def test_pretrain_dataset_grid_feat_mode(fixtures):
+    """Non-clustering GRID mode (reference lxmert_data.py:186-193):
+    exact grid features are the visual input; per-source reader routing;
+    no cluster_id / obj_id."""
+    root, tok, _ = fixtures
+    reader = GridFeatureReader(
+        root / "mscoco_imgfeat" / "maskrcnn_train_grid2.h5")
+    corpus = [{"img_id": f"img{i}", "img_source": "mscoco_train",
+               "sentf": {"mscoco": ["a dog runs"]}} for i in range(6)] + [
+        {"img_id": "absent", "img_source": "mscoco_train",
+         "sentf": {"mscoco": ["red"]}},
+        {"img_id": "img0", "img_source": "unrouted",
+         "sentf": {"mscoco": ["blue"]}}]
+    ds = PretrainDataset(corpus, tok,
+                         feat_reader={"mscoco_train": reader},
+                         max_text_length=8, grid_size=GRID)
+    assert len(ds) == 6  # absent image + unrouted source filtered
+    batch = next(iter(ds.batches(4)))
+    assert batch["vis_feats"].shape == (4, V, 8)
+    assert "cluster_id" not in batch and "obj_id" not in batch
+
+
+def test_coco_substitution_on_non_clustering_paths(bbox_fixtures, fixtures):
+    """--vis_mask_COCO(VG)_only substitutes the CAPTION on every path;
+    the visual payload only under clustering (lxmert_pretrain.py:594-598
+    substitutes word_id regardless, cluster_id only when clustering)."""
+    from xlxmert_tpu.data.io import BboxFeatureReader
+
+    _, path, img_ids = bbox_fixtures
+    _, tok, _ = fixtures
+    corpus = [{"img_id": i, "img_source": "mscoco_train",
+               "sentf": {"mscoco": ["a dog runs"]}} for i in img_ids]
+    ds = PretrainDataset(corpus, tok,
+                         bbox_readers={"mscoco_train": BboxFeatureReader(path)},
+                         max_text_length=8, vis_mask_sources={"mscoco"})
+    batch = next(iter(ds.batches(4)))
+    assert "coco_word_id" in batch  # caption substitute present
+    assert "coco_cluster_id" not in batch  # visual payload NOT substituted

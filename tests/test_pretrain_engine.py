@@ -121,7 +121,10 @@ def test_non_clustering_with_feat_obj_attr_losses():
         intermediate_size=64, l_layers=1, x_layers=1, r_layers=1,
         visual_feat_dim=16, num_object_labels=23, num_attr_labels=7,
         num_clusters=0)
-    cfg = TrainConfig(batch_size=8, grid_size=4, clustering=False,
+    # grid_size=4 keeps the grid box-position fallback at 16 rows ==
+    # n_boxes (the batch carries no per-image boxes)
+    cfg = TrainConfig(batch_size=8, grid_model=False, n_boxes=16,
+                      grid_size=4, clustering=False,
                       target_obj_id=True, feed_exact_feat=True,
                       visual_losses="obj,attr,feat", max_text_length=10,
                       mixed_precision=False, lr=1e-3)
@@ -276,3 +279,84 @@ def test_bbox_path_without_target_obj_id_skips_obj_loss():
     m = eng.eval_step("vis_mask")(state.params, batch,
                                   jax.random.PRNGKey(1), jnp.zeros((1, 16)))
     assert "obj_loss" not in m and "feat_loss" in m
+
+
+def test_grid_exact_feat_path_train_steps():
+    """Non-clustering GRID variant (reference lxmert_data.py:186-193
+    routes grid_model runs to grid h5): exact grid features are the
+    visual input, feat loss on masked cells, grid box positions, no obj
+    labels (grid h5 has no obj ids)."""
+    model_cfg = LxmertConfig(
+        vocab_size=150, hidden_size=32, num_attention_heads=4,
+        intermediate_size=64, l_layers=1, x_layers=1, r_layers=1,
+        visual_feat_dim=16, num_qa_labels=11, num_clusters=0)
+    cfg = TrainConfig(batch_size=16, grid_size=4, clustering=False,
+                      grid_model=True, feed_exact_feat=True,
+                      target_exact_feat=True, visual_losses="obj,feat",
+                      max_text_length=12, mixed_precision=False, lr=3e-3)
+    eng = PretrainEngine(cfg, model_cfg=model_cfg, total_steps=100)
+    assert eng.cfg.n_vis == 16  # grid_size^2, not n_boxes
+
+    rng_np = np.random.RandomState(0)
+    B, L, V = 16, 12, 16
+    word_id = rng_np.randint(1, 150, (B, L)).astype(np.int32)
+    word_id[:, 0] = 101
+    batch = eng.place({
+        "word_id": word_id,
+        "other_word_id": rng_np.randint(1, 150, (B, L)).astype(np.int32),
+        "matched_label": rng_np.randint(0, 2, (B,)).astype(np.int32),
+        "vis_feats": rng_np.randn(B, V, 16).astype(np.float32),
+    })
+    state = eng.create_state(jax.random.PRNGKey(0))
+    centroids = jnp.zeros((1, 16))
+    rng = jax.random.PRNGKey(42)
+    first = None
+    for task in ("vis_mask", "word_mask", "matched"):
+        state, m = eng.train_step(task)(state, batch, rng, centroids)
+        assert np.isfinite(float(m["total_loss"])), task
+        if first is None:
+            first = float(m["total_loss"])
+    m = eng.eval_step("vis_mask")(state.params, batch,
+                                  jax.random.PRNGKey(1), centroids)
+    # no obj-label source on the grid path -> feat loss only
+    assert "feat_loss" in m and "obj_loss" not in m
+    assert float(m["feat_loss"]) > 0  # masked-cell regression engaged
+    # (no learning-smoke here: the SmoothL1 feat loss regresses random
+    # synthetic features, whose loss floor is the target variance — the
+    # bbox tests cover convergence via the obj CE head)
+    del first
+
+
+def test_config_guards_for_impossible_combos():
+    """Fail-fast guards for combinations whose shapes can only die
+    inside the jitted step (or that the reference itself cannot run)."""
+    with pytest.raises(ValueError, match="square_mask"):
+        TrainConfig(clustering=False, grid_model=False, square_mask=True)
+    with pytest.raises(ValueError, match="target_obj_id"):
+        TrainConfig(clustering=False, grid_model=True, target_obj_id=True)
+    with pytest.raises(ValueError, match="grid_model"):
+        TrainConfig(clustering=True, grid_model=False)
+
+
+def test_clustering_feat_loss_needs_exact_flags():
+    """Under clustering, the feat loss only engages with
+    --feed/--target_exact_feat (reference data_out 'feat',
+    lxmert_pretrain.py:733) — without them the head and labels are
+    skipped instead of KeyError-ing on absent vis_feats."""
+    eng = make_engine(visual_losses="obj,feat")  # clustering, no flags
+    state = eng.create_state(jax.random.PRNGKey(0))
+    centroids = jnp.asarray(
+        np.random.RandomState(1).randn(24, 16).astype(np.float32))
+    batch = make_batch(eng.cfg)
+    batch.pop("vis_feats")  # what the loader emits without the flags
+    m = eng.eval_step("vis_mask")(state.params, eng.place(batch),
+                                  jax.random.PRNGKey(1), centroids)
+    assert "obj_loss" in m and "feat_loss" not in m
+
+    # with the flag, vis_feats are loaded and the loss engages
+    eng2 = make_engine(visual_losses="obj,feat", target_exact_feat=True)
+    state2 = eng2.create_state(jax.random.PRNGKey(0))
+    m2 = eng2.eval_step("vis_mask")(
+        state2.params, eng2.place(make_batch(eng2.cfg)),
+        jax.random.PRNGKey(1), centroids)
+    assert "feat_loss" in m2

@@ -69,6 +69,10 @@ def base_parser() -> argparse.ArgumentParser:
                    help="boxes36 h5 override used for every data source "
                    "(default: reference per-source routing, "
                    "lxmert_pretrain.py:196-201)")
+    p.add_argument("--grid_h5", default=None,
+                   help="grid-feature h5 override used for every data "
+                   "source on the exact-feature grid paths (default: "
+                   "reference per-source routing, lxmert_data.py:186-193)")
     p.add_argument("--vis_mask_predict", action="store_true")
     p.add_argument("--square_mask", action="store_true")
     p.add_argument("--vis_mask_COCO_only", action="store_true")

@@ -35,18 +35,48 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def image_batches(directory, image_size, batch_size, max_images=-1):
+def _bilinear_resizer_cache():
+    """Per-native-shape jitted bilinear(antialias=False) resizers to
+    299x299 — the pytorch-fid chain is ONE such resize from the native
+    image (F.interpolate in InceptionV3.forward), not a LANCZOS
+    downsample first."""
+    import jax
+
+    cache = {}
+
+    def resize(img_np):
+        key = img_np.shape
+        if key not in cache:
+            cache[key] = jax.jit(lambda x: jax.image.resize(
+                x, (299, 299, 3), "bilinear", antialias=False))
+        return np.asarray(cache[key](img_np))
+
+    return resize
+
+
+def image_batches(directory, image_size, batch_size, max_images=-1,
+                  native_to_299=False):
+    """Yield (B, S, S, 3) float batches in [0, 1].
+
+    native_to_299: inception/pytorch-fid protocol — load at native
+    resolution and apply the single bilinear antialias=False resize to
+    299 (no intermediate LANCZOS); image_size is ignored."""
     from PIL import Image
 
     paths = sorted(p for p in Path(directory).iterdir()
                    if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
     if max_images > 0:
         paths = paths[:max_images]
+    resize_299 = _bilinear_resizer_cache() if native_to_299 else None
     batch = []
     for p in paths:
-        img = Image.open(p).convert("RGB").resize(
-            (image_size, image_size), Image.LANCZOS)
-        batch.append(np.asarray(img, np.float32) / 255.0)
+        img = Image.open(p).convert("RGB")
+        if native_to_299:
+            arr = np.asarray(img, np.float32) / 255.0
+            batch.append(resize_299(arr))
+        else:
+            img = img.resize((image_size, image_size), Image.LANCZOS)
+            batch.append(np.asarray(img, np.float32) / 255.0)
         if len(batch) == batch_size:
             yield np.stack(batch)
             batch = []
@@ -103,11 +133,19 @@ def main(argv=None):
 
     fn = (inception_feature_fn(variables) if kind == "inception"
           else resnet_feature_fn(variables))
+    # inception: ONE bilinear antialias=False resize from the native
+    # image to 299 (pytorch-fid's exact chain); resnet: LANCZOS to
+    # --image_size as before
+    native299 = kind == "inception"
+    if native299:
+        print("inception protocol: native-resolution load + single "
+              "bilinear(antialias=False) resize to 299 (--image_size "
+              "ignored)")
     fid = compute_fid(
         image_batches(ns.real_dir, ns.image_size, ns.batch_size,
-                      ns.max_images),
+                      ns.max_images, native_to_299=native299),
         image_batches(ns.fake_dir, ns.image_size, ns.batch_size,
-                      ns.max_images),
+                      ns.max_images, native_to_299=native299),
         fn)
     print(f"FID: {fid:.4f}")
     return fid

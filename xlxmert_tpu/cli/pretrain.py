@@ -73,6 +73,7 @@ def main(argv=None):
 
     clusters = None
     bbox_readers = None
+    feat_readers = None
     if cfg.clustering:
         # centroids (lxmert_pretrain.py:70-77 path convention)
         centroid_path = ns.centroid_path or root / "cluster_centroids" / \
@@ -87,11 +88,18 @@ def main(argv=None):
             f"_grid{cfg.grid_size}.pkl"
         clusters = ClusterMap(cluster_pkl)
     else:
-        # bbox path (reference per-source h5 routing,
-        # lxmert_pretrain.py:196-201); --bbox_h5 overrides all sources
+        centroids = jnp.zeros((1, cfg.feat_dim))  # unused placeholder
+
+    # exact-feature h5 routing: the reference keys the file family on
+    # grid_model, independent of clustering (lxmert_data.py:186-201) —
+    # grid h5 when grid_model (visual input on the non-clustering grid
+    # path; feat-loss targets under clustering), boxes h5 otherwise.
+    sources = set(cfg.train.split(",")) | set(cfg.valid.split(","))
+    need_exact = cfg.feed_exact_feat or cfg.target_exact_feat
+    if not cfg.grid_model:
+        # bbox path; --bbox_h5 overrides all sources
         from xlxmert_tpu.data.io import BboxFeatureReader
 
-        centroids = jnp.zeros((1, cfg.feat_dim))  # unused placeholder
         default_routes = {
             "mscoco_train": root / "mscoco_imgfeat"
             / f"maskrcnn_train_boxes{cfg.n_boxes}.h5",
@@ -102,7 +110,6 @@ def main(argv=None):
             "vgnococo": root / "vg_imgfeat"
             / f"maskrcnn_boxes{cfg.n_boxes}.h5",
         }
-        sources = set(cfg.train.split(",")) | set(cfg.valid.split(","))
         readers_by_path = {}
         bbox_readers = {}
         for source in sources:
@@ -115,6 +122,33 @@ def main(argv=None):
             if str(path) not in readers_by_path:
                 readers_by_path[str(path)] = BboxFeatureReader(path)
             bbox_readers[source] = readers_by_path[str(path)]
+    elif need_exact:
+        # grid h5 per source (lxmert_data.py:186-193 naming);
+        # --grid_h5 overrides all sources
+        from xlxmert_tpu.data.io import GridFeatureReader
+
+        default_routes = {
+            "mscoco_train": root / "mscoco_imgfeat"
+            / f"{cfg.encoder}_train_grid{cfg.grid_size}.h5",
+            "mscoco_minival": root / "mscoco_imgfeat"
+            / f"{cfg.encoder}_valid_grid{cfg.grid_size}.h5",
+            "mscoco_nominival": root / "mscoco_imgfeat"
+            / f"{cfg.encoder}_valid_grid{cfg.grid_size}.h5",
+            "vgnococo": root / "vg_imgfeat"
+            / f"{cfg.encoder}_grid{cfg.grid_size}.h5",
+        }
+        readers_by_path = {}
+        feat_readers = {}
+        for source in sources:
+            path = Path(ns.grid_h5) if ns.grid_h5 else default_routes.get(
+                source)
+            if path is None:
+                raise ValueError(
+                    f"no grid h5 route for source {source!r}; pass "
+                    "--grid_h5 or use a known source name")
+            if str(path) not in readers_by_path:
+                readers_by_path[str(path)] = GridFeatureReader(path)
+            feat_readers[source] = readers_by_path[str(path)]
 
     answer_table = None
     if cfg.task_qa:
@@ -143,11 +177,13 @@ def main(argv=None):
 
     train_ds = PretrainDataset(load_corpus(cfg.train), tokenizer, clusters,
                                bbox_readers=bbox_readers,
+                               feat_reader=feat_readers,
                                topk=cfg.train_topk, **ds_kw)
     train_ds.shard(jax.process_index(), jax.process_count())
 
     valid_ds = PretrainDataset(load_corpus(cfg.valid), tokenizer, clusters,
                                bbox_readers=bbox_readers,
+                               feat_reader=feat_readers,
                                topk=cfg.valid_topk, **ds_kw)
 
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)

@@ -113,19 +113,20 @@ def main(argv=None):
         jnp.asarray(box_position(grid))[None], (B, V, 4)
     ).astype(jnp.bfloat16)
 
-    def make_batches():
-        out = []
-        for s in range(0, len(questions), B):
-            chunk = questions[s:s + B]
-            n_valid = len(chunk)
-            chunk = chunk + [chunk[-1]] * (B - n_valid)  # pad last batch
-            ids = tokenizer.encode_batch([q["sent"] for q in chunk], L)
-            mask = (ids > 0).astype(np.float32)
-            picks = cache.indices([q["img_id"] for q in chunk])
-            out.append((chunk[:n_valid], ids, picks, mask))
-        return out
+    def build_batch(chunk, size):
+        """Tokenize/pad/feature-index one batch — the ONE place serving
+        inputs are assembled, shared by the serving loop and int8
+        calibration so the calibrated distribution is exactly what is
+        served."""
+        n_valid = len(chunk)
+        chunk = chunk + [chunk[-1]] * (size - n_valid)  # pad last batch
+        ids = tokenizer.encode_batch([q["sent"] for q in chunk], L)
+        mask = (ids > 0).astype(np.float32)
+        picks = cache.indices([q["img_id"] for q in chunk])
+        return chunk[:n_valid], ids, picks, mask
 
-    all_batches = make_batches()
+    all_batches = [build_batch(questions[s:s + B], B)
+                   for s in range(0, len(questions), B)]
 
     dev = jax.devices()[0]
     if ns.bf16:
@@ -166,14 +167,9 @@ def main(argv=None):
         calib_pos = jnp.broadcast_to(pos[:1], (Bc,) + pos.shape[1:])
         calib_batches = []
         for s in range(0, n_calib, Bc):
-            chunk = calib_qs[s:s + Bc]
-            chunk = chunk + [chunk[-1]] * (Bc - len(chunk))
-            c_ids = tokenizer.encode_batch([q["sent"] for q in chunk], L)
-            c_mask = (c_ids > 0).astype(np.float32)
+            _, c_ids, c_picks, c_mask = build_batch(calib_qs[s:s + Bc], Bc)
             c_feats = np.asarray(FeatureCache.lookup(
-                cache.table,
-                jnp.asarray(cache.indices([q["img_id"] for q in chunk]))),
-                np.float32)
+                cache.table, jnp.asarray(c_picks)), np.float32)
             calib_batches.append((jnp.asarray(c_ids), jnp.asarray(c_feats),
                                   calib_pos, jnp.asarray(c_mask)))
         print(f"calibrating int8 scales on {len(calib_batches)} batches "

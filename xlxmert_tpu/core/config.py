@@ -181,6 +181,23 @@ class TrainConfig(_YamlMixin):
             raise ValueError(
                 "clustering pretraining requires grid_model=True "
                 "(--grid_model): cluster ids are grid_size^2 grids")
+        if self.square_mask and not self.grid_model:
+            # square_vis_mask draws a grid_size^2 square patch; with
+            # n_boxes visual tokens the mask shape mismatches and dies
+            # inside the jitted step. The reference's square mask is
+            # grid-only too (lxmert_data.py:441-458 indexes a grid).
+            raise ValueError(
+                "--square_mask is a grid-pattern mask: it requires "
+                "grid_model=True (use the bernoulli/uniform-count masks "
+                "on the bbox path)")
+        if self.target_obj_id and self.grid_model and not self.clustering:
+            # grid h5 files carry no obj_id dataset — the reference
+            # routes non-clustering grid_model runs to grid h5
+            # (lxmert_data.py:186-193) and its obj_id read would
+            # KeyError there just the same; fail with a message instead
+            raise ValueError(
+                "--target_obj_id needs detector obj ids, which only the "
+                "bbox h5 provides: drop --grid_model or --target_obj_id")
 
     @property
     def n_grids(self) -> int:

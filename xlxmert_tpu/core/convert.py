@@ -189,6 +189,13 @@ def load_bert_state_dict(state_dict_or_path, l_layers: int = 9) -> Dict[str, Any
     else:
         sd = state_dict_or_path
     sd = strip_ddp_prefix(sd)
+    # the canonical 2019-era bert-base-uncased pytorch_model.bin names
+    # LayerNorm params `gamma`/`beta`; modern transformers re-exports use
+    # `weight`/`bias` (transformers' own from_pretrained does this same
+    # rename). Normalize so either vintage converts.
+    sd = {(k[:-6] + ".weight" if k.endswith(".gamma")
+           else k[:-5] + ".bias" if k.endswith(".beta") else k): v
+          for k, v in sd.items()}
     if not any(k.startswith("bert.") for k in sd):
         # bare BertModel layout -> BertForPreTraining layout
         sd = {("bert." + k if not k.startswith("cls.") else k): v

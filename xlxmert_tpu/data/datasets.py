@@ -238,12 +238,28 @@ class PretrainDataset:
         lxmert_data.py:195-201,277-344): {img_source: BboxFeatureReader}
         routing each image to its boxes36 h5; batches then carry real
         features, detector obj ids, and per-image normalized boxes
-        instead of cluster ids. Exactly one of cluster_map/bbox_readers
-        must be given."""
-        if (cluster_map is None) == (bbox_readers is None):
+        instead of cluster ids.
+
+        Modes (reference lxmert_data.py:186-201 routes h5 files on
+        grid_model, independent of clustering):
+        - clustering: cluster_map set; feat_reader optionally adds exact
+          grid features (feat-loss targets, data_out 'feat')
+        - bbox: bbox_readers set (non-clustering, grid_model=False)
+        - grid-feat: neither set, feat_reader required — exact grid
+          features ARE the visual input (non-clustering, grid_model)
+
+        feat_reader may be a single GridFeatureReader or an
+        {img_source: reader} dict (per-source h5 routing like
+        bbox_readers)."""
+        if cluster_map is not None and bbox_readers is not None:
             raise ValueError(
-                "provide exactly one of cluster_map (clustering/grid mode) "
-                "or bbox_readers (bbox-feature mode)")
+                "cluster_map (clustering mode) and bbox_readers "
+                "(bbox-feature mode) are mutually exclusive")
+        if (cluster_map is None and bbox_readers is None
+                and feat_reader is None):
+            raise ValueError(
+                "grid-feat mode (no cluster_map, no bbox_readers) needs "
+                "a feat_reader for the exact grid features")
         self.tokenizer = tokenizer
         self.clusters = cluster_map
         self.bbox_readers = bbox_readers
@@ -259,8 +275,13 @@ class PretrainDataset:
             if cluster_map is not None:
                 if img_id not in cluster_map:
                     continue
-            else:
+            elif bbox_readers is not None:
                 reader = bbox_readers.get(datum.get("img_source", ""))
+                if reader is None or img_id not in reader:
+                    continue
+            else:  # grid-feat mode: membership in the routed grid h5
+                reader = (feat_reader.get(datum.get("img_source", ""))
+                          if isinstance(feat_reader, dict) else feat_reader)
                 if reader is None or img_id not in reader:
                     continue
             img_source = datum.get("img_source", "")
@@ -355,7 +376,7 @@ class PretrainDataset:
                 batch["cluster_id"] = _pad_batch(
                     [self.clusters.get(d["img_id"]) for d in data],
                     batch_size)
-            else:
+            elif self.bbox_readers is not None:
                 # bbox path (lxmert_data.py:277-344): real detector
                 # features, obj ids, and per-image [0,1] boxes
                 rows = [self.bbox_readers[d["img_source"]].get(d["img_id"])
@@ -370,18 +391,31 @@ class PretrainDataset:
                 batch["qa_label"] = _pad_batch(
                     [np.int32(self._qa_label(d, rng)) for d in data],
                     batch_size)
-            if self._vis_pool and self.clusters is not None:
-                # substitute COCO/VG example for the vis_mask task
+            if self._vis_pool:
+                # substitute COCO/VG example for the vis_mask task. The
+                # reference substitutes the CAPTION on every path but the
+                # visual input only in clustering mode — on the bbox/grid
+                # paths the original image features stay
+                # (lxmert_pretrain.py:594-598, lxmert_data.py:481-492)
                 subs = [self.examples[self._vis_pool[
                     rng.randrange(len(self._vis_pool))]] for _ in data]
                 sub_ids = self.tokenizer.encode_batch(
                     [s["sent"] for s in subs], self.max_text_length)
                 batch["coco_word_id"] = _pad_batch(list(sub_ids), batch_size)
-                batch["coco_cluster_id"] = _pad_batch(
-                    [self.clusters.get(s["img_id"]) for s in subs],
-                    batch_size)
-            if with_feats and self.feat is not None:
-                feats = [self.feat.get(d["img_id"]).reshape(V, -1)
-                         for d in data]
-                batch["vis_feats"] = _pad_batch(feats, batch_size)
+                if self.clusters is not None:
+                    batch["coco_cluster_id"] = _pad_batch(
+                        [self.clusters.get(s["img_id"]) for s in subs],
+                        batch_size)
+            if self.feat is not None and (
+                    with_feats or self.bbox_readers is None):
+                # exact grid features: the visual input in grid-feat
+                # mode, feat-loss targets under clustering
+                # (data_out 'feat', lxmert_pretrain.py:733)
+                batch["vis_feats"] = _pad_batch(
+                    [self._grid_feat(d, V) for d in data], batch_size)
             yield batch
+
+    def _grid_feat(self, d, V):
+        r = (self.feat[d["img_source"]] if isinstance(self.feat, dict)
+             else self.feat)
+        return r.get(d["img_id"]).reshape(V, -1)

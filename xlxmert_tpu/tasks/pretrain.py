@@ -69,13 +69,14 @@ def _task_heads(task: str, cfg: TrainConfig) -> Tuple[str, ...]:
             # computes no obj loss (lxmert_pretrain.py:162-170)
             if k == "obj" and not (cfg.clustering or cfg.target_obj_id):
                 continue
-            # the feat loss needs exact-feature labels: grid h5 feats
-            # (clustering) or the bbox h5 via --feed_exact_feat /
-            # --target_exact_feat — in the reference either flag loads
-            # the features and their presence alone enables the loss
-            # (lxmert_pretrain.py:196-199,733, lxmert_data.py:185)
-            if k == "feat" and not (cfg.clustering or cfg.feed_exact_feat
-                                    or cfg.target_exact_feat):
+            # the feat loss needs exact-feature labels, which only
+            # --feed_exact_feat / --target_exact_feat load (reference
+            # data_out 'feat' is keyed on exactly these two flags,
+            # lxmert_pretrain.py:733 — independent of clustering; on the
+            # bbox path vis_feats are always present as the input)
+            if k == "feat" and not (cfg.feed_exact_feat
+                                    or cfg.target_exact_feat
+                                    or not cfg.grid_model):
                 continue
             heads.append(k)
     if cfg.task_qa:
@@ -110,7 +111,11 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
         if ((cfg.vis_mask_COCO_only or cfg.vis_mask_COCOVG_only)
                 and "coco_word_id" in batch):
             input_ids = batch["coco_word_id"]
-            cluster_id = batch["coco_cluster_id"]
+            # the caption is substituted on every path; the visual input
+            # only in clustering mode — bbox/grid paths keep the
+            # original image (lxmert_pretrain.py:594-598)
+            if cfg.clustering:
+                cluster_id = batch["coco_cluster_id"]
         else:
             input_ids = batch["word_id"]
         if cfg.square_mask:
@@ -140,8 +145,8 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
             labels["attr_labels"] = jnp.where(
                 vis_mask > 0, batch["attr_label"], -100)
         if "feat" in cfg.visual_loss_keys and (
-                cfg.clustering or cfg.feed_exact_feat
-                or cfg.target_exact_feat):
+                cfg.feed_exact_feat or cfg.target_exact_feat
+                or not cfg.grid_model):
             labels["feat_labels"] = batch["vis_feats"]
             labels["vis_mask"] = vis_mask
     else:
