@@ -1,9 +1,12 @@
 """k-means correctness: cluster recovery on synthetic blobs, inertia
-monotonicity, assignment vs brute-force numpy."""
+monotonicity, assignment vs brute-force numpy, chunked-vs-oneshot Lloyd
+parity."""
 import numpy as np
 import jax.numpy as jnp
 
-from xlxmert_tpu.vocab.kmeans import assign, centroid_filename, kmeans, lloyd_step
+from xlxmert_tpu.vocab.kmeans import (
+    assign, centroid_filename, kmeans, lloyd_step, lloyd_step_chunked,
+)
 
 
 def blobs(n_per=200, k=5, d=16, seed=0, spread=0.05):
@@ -55,6 +58,38 @@ def test_empty_cluster_kept():
     c0 = np.stack([np.zeros(4), np.full(4, 100.0)]).astype(np.float32)
     c1, _ = lloyd_step(jnp.asarray(x), jnp.asarray(c0), 2)
     np.testing.assert_array_equal(np.asarray(c1)[1], c0[1])
+
+
+def test_chunked_lloyd_matches_oneshot():
+    """lloyd_step_chunked (scan over row tiles + pad weights) must equal
+    the one-shot lloyd_step on the real rows — same fp32 accumulation."""
+    x, _, _ = blobs(n_per=70, k=4, d=12, spread=1.0)  # 280 rows
+    rng = np.random.RandomState(2)
+    c0 = x[rng.choice(len(x), 4, replace=False)]
+    ref_c, ref_in = lloyd_step(jnp.asarray(x), jnp.asarray(c0), 4)
+
+    # chunk=64 does not divide 280 -> exercises the pad/weight path
+    pad = (-len(x)) % 64
+    xp = np.concatenate([x, np.zeros((pad, x.shape[1]), np.float32)])
+    w = np.concatenate([np.ones(len(x), np.float32),
+                        np.zeros(pad, np.float32)])
+    ch_c, ch_in = lloyd_step_chunked(
+        jnp.asarray(xp), jnp.asarray(w), jnp.asarray(c0), 4, 64)
+    np.testing.assert_allclose(np.asarray(ch_c), np.asarray(ref_c),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(ch_in), float(ref_in), rtol=1e-5)
+
+
+def test_kmeans_chunked_recovers_blobs():
+    """Full kmeans() through the chunked path (forced chunk + bf16
+    storage) still recovers the blob structure."""
+    x, labels, _ = blobs()
+    _, final = kmeans(x, k=5, n_iter=15, seed=3, chunk=128,
+                      store_dtype="bfloat16")
+    for b in range(5):
+        pred = final[labels == b]
+        dominant = np.bincount(pred).max() / len(pred)
+        assert dominant > 0.99
 
 
 def test_centroid_filename_contract():

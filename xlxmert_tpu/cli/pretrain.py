@@ -50,7 +50,8 @@ def main(argv=None):
     apply_rng_impl(cfg)
 
     from xlxmert_tpu.core.checkpoint import (
-        epoch_ckpt_name, load_any_checkpoint, parse_start_epoch, save_pytree,
+        AsyncCheckpointer, epoch_ckpt_name, load_any_checkpoint,
+        parse_start_epoch,
     )
     from xlxmert_tpu.core.metrics import LossMeter, RunLogger
     from xlxmert_tpu.data.datasets import PretrainDataset
@@ -244,6 +245,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(cfg.seed)
     meters = {}
     global_step = start_epoch * steps_per_epoch
+    ckpt = AsyncCheckpointer()  # epoch saves overlap the next epoch
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
@@ -280,8 +282,9 @@ def main(argv=None):
             logger.scalars(global_step, summary)
             logger.info(f"epoch {epoch}: {summary} "
                         f"({time.time() - t0:.0f}s)")
-            save_pytree(jax.tree.map(np.asarray, state.params),
-                        str(Path(cfg.output) / epoch_ckpt_name(epoch + 1)))
+            ckpt.save(state.params,
+                      str(Path(cfg.output) / epoch_ckpt_name(epoch + 1)))
+    ckpt.wait()
     logger.close()
 
 

@@ -32,6 +32,14 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_images", type=int, default=-1,
                    help="subsample training images (RAM bound)")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="rows per distance tile (0 = auto: chunked once "
+                   "the (N, K) matrix would exceed ~1 GB)")
+    p.add_argument("--store_dtype", default=None,
+                   choices=[None, "float32", "bfloat16"],
+                   help="device dtype for the data matrix; bfloat16 halves "
+                   "HBM for the production-scale build (distances still "
+                   "accumulate fp32)")
     return p.parse_args(argv)
 
 
@@ -60,7 +68,8 @@ def main(argv=None):
 
     t0 = time.time()
     centroids, _ = kmeans(data, ns.n_centroids, ns.n_iter, ns.seed,
-                          init="random", verbose=True)
+                          init="random", verbose=True, chunk=ns.chunk,
+                          store_dtype=ns.store_dtype)
     print(f"kmeans done in {time.time()-t0:.1f}s")
 
     out_dir = Path(ns.out_dir)

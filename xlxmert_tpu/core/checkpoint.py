@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from typing import Any, Optional
 
 import jax
@@ -20,10 +21,58 @@ from flax import serialization
 
 
 def save_pytree(tree: Any, path: str) -> None:
+    """Atomic checkpoint write: serialize to `path + '.tmp'`, then
+    os.replace — a run killed mid-save never leaves a truncated file
+    that resume-by-name would then load (the reference's plain
+    torch.save has exactly that failure mode)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     host_tree = jax.tree.map(lambda x: np.asarray(x), tree)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(host_tree))
+    os.replace(tmp, path)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization + disk write with training.
+
+    The D2H snapshot happens synchronously in save() — it MUST: the
+    jitted train steps donate the state (tasks/pretrain.py
+    donate_argnums), so the old params' device buffers are invalid the
+    moment the next step is dispatched, and a background device_get
+    would race that. Serialization + the file write (the dominant cost
+    for a GB-scale checkpoint on local disk) then run on a background
+    thread. At most one save is in flight: save() first waits for the
+    previous one (bounding host memory at one snapshot) and re-raises
+    any error it hit. Call wait() before exit/resume-critical points.
+    """
+
+    def __init__(self) -> None:
+        self._thread: Optional[threading.Thread] = None
+        self._exc: Optional[BaseException] = None
+
+    def save(self, tree: Any, path: str) -> None:
+        self.wait()
+        # np.array(copy=True): np.asarray would ALIAS host-numpy leaves,
+        # and the caller may reuse those buffers while we write
+        host_tree = jax.tree.map(lambda x: np.array(x, copy=True), tree)
+
+        def work():
+            try:
+                save_pytree(host_tree, path)
+            except BaseException as e:  # re-raised on the caller's thread
+                self._exc = e
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
 
 
 def load_pytree(path: str, target: Optional[Any] = None) -> Any:

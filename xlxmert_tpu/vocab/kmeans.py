@@ -14,6 +14,7 @@ from faiss's internal MPI-free loop). Assignment is chunked so the
 from __future__ import annotations
 
 import functools
+import time
 from typing import Tuple
 
 import jax
@@ -64,6 +65,43 @@ def lloyd_step(x: jnp.ndarray, centroids: jnp.ndarray, k: int):
     return new, dist.mean()
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk"),
+                   donate_argnums=(2,))
+def lloyd_step_chunked(x: jnp.ndarray, weights: jnp.ndarray,
+                       centroids: jnp.ndarray, k: int, chunk: int):
+    """Lloyd iteration that never materializes more than a (chunk, K)
+    distance tile: `lax.scan` over row-chunks accumulating per-cluster
+    fp32 sums/counts. This is what makes the production 10k-centroid
+    build (run_kmeans.py:96-102 trains on millions of rows) fit one
+    chip — the plain `lloyd_step`'s (N, K) matrix would be tens of GB.
+
+    `x` must be padded to a multiple of `chunk`; `weights` (n,) carries
+    1.0 for real rows and 0.0 for padding. Numerics equal `lloyd_step`
+    on the real rows (fp32 accumulation both ways; pinned in
+    tests/test_kmeans.py)."""
+    n, d = x.shape
+    xr = x.reshape(n // chunk, chunk, d)
+    wr = weights.reshape(n // chunk, chunk)
+
+    def body(carry, xw):
+        sums, counts, tot = carry
+        xc, wc = xw
+        ids, dist = _assign_chunk(xc, centroids, k)
+        w32 = wc.astype(jnp.float32)
+        sums = sums + jax.ops.segment_sum(
+            xc.astype(jnp.float32) * w32[:, None], ids, num_segments=k)
+        counts = counts + jax.ops.segment_sum(w32, ids, num_segments=k)
+        tot = tot + (dist * w32).sum()
+        return (sums, counts, tot), None
+
+    init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32),
+            jnp.zeros((), jnp.float32))
+    (sums, counts, tot), _ = jax.lax.scan(body, init, (xr, wr))
+    new = sums / jnp.maximum(counts[:, None], 1.0)
+    new = jnp.where(counts[:, None] > 0, new, centroids)
+    return new, tot / jnp.maximum(weights.sum(), 1.0)
+
+
 def _kmeanspp_init(data: np.ndarray, k: int, rng: np.random.RandomState):
     """k-means++ seeding (D^2 sampling). O(k*N*D) — right for small/medium
     k; the 10k-centroid production build uses random init like faiss."""
@@ -85,12 +123,24 @@ def kmeans(
     seed: int = 0,
     init: str = "auto",
     verbose: bool = False,
+    chunk: int = 0,
+    store_dtype=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Train k-means; returns (centroids (k, D), final assignments (N,)).
 
     init: "random" = k distinct samples (faiss default; used for the
     production k=10000 build, run_kmeans.py:96-102), "++" = k-means++
     (better local minima for small k), "auto" = ++ when k <= 256.
+
+    chunk: rows per distance tile. 0 = auto — one-shot `lloyd_step` while
+    the (N, K) distance matrix stays under ~1 GB, `lloyd_step_chunked`
+    beyond (production scale). Any positive value forces chunked.
+
+    store_dtype: device-resident dtype for the data matrix (default:
+    keep `data.dtype`). "bfloat16" halves HBM so the production build's
+    millions of rows fit one chip; distances still accumulate in fp32 on
+    the MXU, only the inputs are rounded — a documented divergence from
+    faiss's fp32 storage.
     """
     n = data.shape[0]
     rng = np.random.RandomState(seed)
@@ -101,11 +151,26 @@ def kmeans(
     else:
         init_idx = rng.choice(n, size=k, replace=n < k)
         centroids = jnp.asarray(data[init_idx], jnp.float32)
-    x = jnp.asarray(data)
+    if chunk == 0 and n * k * 4 > 1 << 30:
+        chunk = 65536
+    x = jnp.asarray(data, dtype=store_dtype)
+    if chunk:
+        pad = (-n) % chunk
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, x.shape[1]), x.dtype)])
+        weights = jnp.concatenate(
+            [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
     for i in range(n_iter):
-        centroids, inertia = lloyd_step(x, centroids, k)
+        t0 = time.time()
+        if chunk:
+            centroids, inertia = lloyd_step_chunked(x, weights, centroids,
+                                                    k, chunk)
+        else:
+            centroids, inertia = lloyd_step(x, centroids, k)
         if verbose:
-            print(f"kmeans iter {i}: inertia {float(inertia):.4f}")
+            print(f"kmeans iter {i}: inertia {float(inertia):.4f} "
+                  f"({time.time() - t0:.2f}s)")
     final = assign(data, np.asarray(centroids))
     return np.asarray(centroids), final
 
