@@ -68,6 +68,71 @@ def test_async_checkpointer_error_surfaces_on_wait(tmp_path):
     _assert_tree(load_pytree(good))
 
 
+def test_full_state_exact_resume():
+    """save(full state) -> restore into a FRESH engine -> continue must
+    be bit-identical to training straight through: Adam moments and the
+    schedule position survive (the params-only path does not)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.core.checkpoint import (
+        is_full_state_tree, restore_train_state, train_state_to_tree,
+    )
+    from xlxmert_tpu.core.config import LxmertConfig, TrainConfig
+    from xlxmert_tpu.tasks.pretrain import PretrainEngine
+    from flax import serialization
+
+    model_cfg = LxmertConfig(
+        vocab_size=120, hidden_size=16, num_attention_heads=2,
+        intermediate_size=32, l_layers=1, x_layers=1, r_layers=1,
+        visual_feat_dim=8, num_qa_labels=5, num_clusters=7)
+    cfg = TrainConfig(batch_size=8, grid_size=2, num_clusters=7,
+                      max_text_length=6, mixed_precision=False)
+
+    def make():
+        eng = PretrainEngine(cfg, model_cfg=model_cfg, total_steps=8)
+        return eng, eng.create_state(jax.random.PRNGKey(0))
+
+    rng = jax.random.PRNGKey(1)
+    r = np.random.RandomState(0)
+    B, L, V = cfg.batch_size, cfg.max_text_length, cfg.n_grids
+    centroids = jnp.asarray(r.randn(7, 8).astype(np.float32))
+
+    eng, state = make()
+    batch = eng.place({
+        "word_id": r.randint(1, 120, (B, L)).astype(np.int32),
+        "other_word_id": r.randint(1, 120, (B, L)).astype(np.int32),
+        "matched_label": r.randint(0, 2, (B,)).astype(np.int32),
+        "cluster_id": r.randint(0, 7, (B, V)).astype(np.int32),
+    })
+
+    def steps(eng, state, n, start):
+        for i in range(start, start + n):
+            state, _ = eng.train_step(eng.task_for_step(i))(
+                state, batch, rng, centroids)
+        return state
+
+    ref = steps(eng, state, 4, 0)
+
+    eng2, state2 = make()
+    state2 = steps(eng2, state2, 2, 0)
+    blob = serialization.to_bytes(
+        jax.tree.map(np.asarray, train_state_to_tree(state2)))
+    tree = serialization.msgpack_restore(blob)
+    assert is_full_state_tree(tree)
+
+    eng3, state3 = make()  # fresh engine: random params, zero opt state
+    state3 = restore_train_state(state3, tree)
+    assert int(np.asarray(state3.step)) == 2
+    state3 = steps(eng3, state3, 2, 2)
+
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(state3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref.opt_state),
+                    jax.tree.leaves(state3.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_merge_params_reports_missing_and_unexpected():
     target = {"x": np.zeros(2), "y": {"z": np.zeros(3)}}
     loaded = {"x": np.ones(2), "extra": np.ones(1)}

@@ -239,6 +239,37 @@ def test_step3d_pretrain_grid_exact_feat_path(world):
     assert any("valid/vis_mask" in s for s in scalars)
 
 
+def test_step3e_pretrain_full_state_resume(world):
+    """--save_full_state writes Epoch%02d_FULL.msgpack; --load of it
+    exact-resumes (optimizer + step restored; engine-level bit-equality
+    is pinned in test_checkpoint.py — this covers the CLI wiring)."""
+    from xlxmert_tpu.cli.pretrain import main
+
+    cpath = (world / "cluster_centroids" /
+             "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
+    pkl = (world / "cluster_ids" /
+           "maskrcnn_train_grid2_img_id_to_cluster_id_10_iter3_d2048"
+           "_grid2.pkl")
+    out = world / "snap_fullstate"
+    base = ["--taskMaskLM", "--taskObjPredict", "--taskMatched",
+            "--visualLosses", "obj", "--vis_mask_predict", "--clustering",
+            "--grid_model", "--grid_size", str(GRID),
+            "--num_clusters", "10", "--batchSize", "8",
+            "--train", "mscoco_train", "--valid", "mscoco_minival",
+            "--data_root", str(world), "--vocab", str(world / "vocab.txt"),
+            "--centroid_path", str(cpath), "--cluster_pkl", str(pkl),
+            "--model_config", str(world / "model.yaml"),
+            "--output", str(out), "--fp32", "--seed", "1", "--fromScratch",
+            "--save_full_state"]
+    main(base + ["--epochs", "1"])
+    full = out / "Epoch01_FULL.msgpack"
+    assert full.exists()
+    main(base + ["--epochs", "2", "--load", str(full)])
+    assert (out / "Epoch02_LXRT.msgpack").exists()
+    log = (out / "log.txt").read_text()
+    assert "exact-resumed full train state" in log
+
+
 def test_step4_vqa_finetune_and_test(world):
     from xlxmert_tpu.cli.vqa import main
 

@@ -42,6 +42,12 @@ def base_parser() -> argparse.ArgumentParser:
                    "the reference-default BERT init of the language stack "
                    "(lxmert_pretrain.py:58-61); required because this "
                    "environment cannot download from the HF hub")
+    p.add_argument("--save_full_state", action="store_true",
+                   help="also save Epoch%%02d_FULL.msgpack (params + "
+                   "optimizer + step) for exact resume; --load of a "
+                   "_FULL checkpoint restores optimizer moments and the "
+                   "LR-schedule position (TPU-native extension; the "
+                   "reference rebuilds the optimizer on resume)")
     p.add_argument("--comment", default="")
     # model shape (param.py:107-112)
     p.add_argument("--llayers", type=int, default=9)

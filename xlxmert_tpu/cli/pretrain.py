@@ -227,20 +227,29 @@ def main(argv=None):
             "(lxmert_pretrain.py:58-61); proceeding from scratch. Pass "
             "--bert_weights pytorch_model.bin or --fromScratch to silence.")
     if cfg.load:
-        from xlxmert_tpu.core.checkpoint import merge_params
+        from xlxmert_tpu.core.checkpoint import (
+            is_full_state_tree, merge_params, restore_train_state)
 
         loaded = load_any_checkpoint(cfg.load)
-        merged, missing, unexpected = merge_params(
-            jax.tree.map(np.asarray, state.params), loaded)
-        if missing or unexpected:
-            logger.info(f"checkpoint overlay (strict=False): "
-                        f"{len(missing)} missing, {len(unexpected)} "
-                        f"unexpected param paths")
-        state = state.replace(params=jax.device_put(
-            jax.tree.map(jnp.asarray, merged), state.params[
-                "bert"]["pooler"]["dense"]["kernel"].sharding))
-        start_epoch = parse_start_epoch(cfg.load)
-        logger.info(f"resumed from {cfg.load} at epoch {start_epoch}")
+        if is_full_state_tree(loaded):
+            # exact resume: optimizer moments + LR-schedule position
+            state = restore_train_state(state, loaded)
+            start_epoch = parse_start_epoch(cfg.load)
+            logger.info(f"exact-resumed full train state from {cfg.load} "
+                        f"at epoch {start_epoch}, "
+                        f"step {int(np.asarray(state.step))}")
+        else:
+            merged, missing, unexpected = merge_params(
+                jax.tree.map(np.asarray, state.params), loaded)
+            if missing or unexpected:
+                logger.info(f"checkpoint overlay (strict=False): "
+                            f"{len(missing)} missing, {len(unexpected)} "
+                            f"unexpected param paths")
+            state = state.replace(params=jax.device_put(
+                jax.tree.map(jnp.asarray, merged), state.params[
+                    "bert"]["pooler"]["dense"]["kernel"].sharding))
+            start_epoch = parse_start_epoch(cfg.load)
+            logger.info(f"resumed from {cfg.load} at epoch {start_epoch}")
 
     rng = jax.random.PRNGKey(cfg.seed)
     meters = {}
@@ -284,6 +293,15 @@ def main(argv=None):
                         f"({time.time() - t0:.0f}s)")
             ckpt.save(state.params,
                       str(Path(cfg.output) / epoch_ckpt_name(epoch + 1)))
+            if cfg.save_full_state:
+                from xlxmert_tpu.core.checkpoint import (
+                    save_pytree, train_state_to_tree)
+
+                # synchronous (ckpt holds the slot for the params file);
+                # full state is the resume-critical artifact
+                save_pytree(train_state_to_tree(state),
+                            str(Path(cfg.output)
+                                / f"Epoch{epoch + 1:02d}_FULL.msgpack"))
     ckpt.wait()
     logger.close()
 

@@ -108,6 +108,41 @@ def merge_params(target: Any, loaded: Any):
     return walk(target, loaded, ()), missing, unexpected
 
 
+def train_state_to_tree(state) -> dict:
+    """TrainState -> plain pytree for full-fidelity checkpoints (params
+    + optimizer moments + step). The reference saves only the model
+    state_dict and rebuilds optimizer/scheduler on resume
+    (lxmert_pretrain.py:675-685) — Adam moments are lost and the LR
+    schedule restarts from warmup. This is the exact-resume extension."""
+    return {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+
+
+def restore_train_state(state, tree_or_path):
+    """Restore a full train-state checkpoint into `state`, preserving
+    each leaf's device sharding. `tree_or_path` is a path or an
+    msgpack_restore'd dict. Structure must match exactly (loud failure
+    when the config changed between save and resume)."""
+    import jax.numpy as jnp
+    from flax import serialization
+
+    tree = (load_pytree(tree_or_path) if isinstance(tree_or_path, str)
+            else tree_or_path)
+    template = train_state_to_tree(state)
+    restored = serialization.from_state_dict(template, tree)
+    placed = jax.tree.map(
+        lambda x, ref: jax.device_put(jnp.asarray(x), ref.sharding),
+        restored, template)
+    return state.replace(params=placed["params"],
+                         opt_state=placed["opt_state"],
+                         step=placed["step"])
+
+
+def is_full_state_tree(tree: Any) -> bool:
+    return (isinstance(tree, dict)
+            and set(tree) == {"params", "opt_state", "step"})
+
+
 def epoch_ckpt_name(epoch: int) -> str:
     """Reference naming: Epoch%02d_LXRT (lxmert_pretrain.py:549)."""
     return f"Epoch{epoch:02d}_LXRT.msgpack"

@@ -154,6 +154,11 @@ class TrainConfig(_YamlMixin):
     # default language-stack initialization (lxmert_pretrain.py:58-61);
     # --fromScratch opts out, matching param.py:90-93.
     bert_weights: Optional[str] = None
+    # also write Epoch%02d_FULL.msgpack (params + optimizer moments +
+    # step) so --load resumes EXACTLY — Adam state and the LR-schedule
+    # position survive. The reference (and our default Epoch%02d_LXRT
+    # params file) rebuilds the optimizer on resume.
+    save_full_state: bool = False
     comment: str = ""
 
     # distribution: 1-D data mesh over ICI (replaces NCCL DDP,
