@@ -69,6 +69,7 @@ def run_kmeans():
 
     N, K, D, chunk = args.rows, args.k, args.dim, args.chunk
     assert N % chunk == 0
+    assert N >= K, f"--rows {N} must be >= --k {K} (centroid seeding)"
     dtype = jnp.bfloat16 if args.kmeans_bf16 else jnp.float32
     x = jax.random.normal(jax.random.PRNGKey(0), (N, D), dtype)
     w = jnp.ones((N,), jnp.float32)

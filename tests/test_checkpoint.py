@@ -122,7 +122,8 @@ def test_full_state_exact_resume():
     assert is_full_state_tree(tree)
 
     eng3, state3 = make()  # fresh engine: random params, zero opt state
-    state3 = restore_train_state(state3, tree)
+    state3, saved_total = restore_train_state(state3, tree)
+    assert saved_total is None  # not recorded in this blob
     assert int(np.asarray(state3.step)) == 2
     state3 = steps(eng3, state3, 2, 2)
 

@@ -11,7 +11,7 @@ from xlxmert_tpu.core.config import LxmertConfig
 from xlxmert_tpu.models.lxmert import TransformerLayer, extend_attention_mask
 from xlxmert_tpu.parallel.mesh import make_mesh
 from xlxmert_tpu.parallel.pipeline import (
-    pipeline_apply, place_pipeline, stack_layers,
+    pipeline_apply, place_pipeline, stack_language_layers, stack_layers,
 )
 
 CFG = LxmertConfig(vocab_size=64, hidden_size=16, num_attention_heads=2,
@@ -57,6 +57,29 @@ def test_pipeline_matches_sequential(shape, axes):
     )(lp, (h, b))
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_stack_language_layers_path_contract():
+    """stack_language_layers must index the real LxmertModel param tree
+    (encoder/layer_{i}) — pins the path so a rename in models/lxmert.py
+    fails here, and the stacked slices equal the per-layer subtrees."""
+    from xlxmert_tpu.models.lxmert import LxmertModel
+    from xlxmert_tpu.parallel.pipeline import stack_language_layers as sll
+
+    model = LxmertModel(CFG, jnp.float32)
+    B, T, V = 2, 4, CFG.visual_feat_dim
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((B, T), jnp.int32),
+        jnp.zeros((B, 4, V)), jnp.zeros((B, 4, 4)),
+        attention_mask=jnp.ones((B, T)))["params"]
+    stacked = sll(params, CFG.l_layers)
+    leaves = jax.tree.leaves(stacked)
+    assert all(l.shape[0] == CFG.l_layers for l in leaves)
+    for i in range(CFG.l_layers):
+        sliced = jax.tree.map(lambda a: a[i], stacked)
+        ref = params["encoder"][f"layer_{i}"]
+        for a, b in zip(jax.tree.leaves(sliced), jax.tree.leaves(ref)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_pipeline_grads_match_sequential():

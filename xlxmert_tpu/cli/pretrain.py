@@ -230,11 +230,18 @@ def main(argv=None):
         from xlxmert_tpu.core.checkpoint import (
             is_full_state_tree, merge_params, restore_train_state)
 
-        loaded = load_any_checkpoint(cfg.load)
+        loaded = load_any_checkpoint(cfg.load, keep_full_state=True)
         if is_full_state_tree(loaded):
             # exact resume: optimizer moments + LR-schedule position
-            state = restore_train_state(state, loaded)
+            state, saved_total = restore_train_state(state, loaded)
             start_epoch = parse_start_epoch(cfg.load)
+            if saved_total is not None and saved_total != total_steps:
+                logger.info(
+                    f"WARNING: LR-schedule horizon changed: checkpoint "
+                    f"was saved with total_steps={saved_total}, this run "
+                    f"computes {total_steps} (epochs/batch/data changed) "
+                    f"— continuing is fine, but the continuation is NOT "
+                    f"bit-identical to an uninterrupted run")
             logger.info(f"exact-resumed full train state from {cfg.load} "
                         f"at epoch {start_epoch}, "
                         f"step {int(np.asarray(state.step))}")
@@ -256,53 +263,59 @@ def main(argv=None):
     global_step = start_epoch * steps_per_epoch
     ckpt = AsyncCheckpointer()  # epoch saves overlap the next epoch
 
-    for epoch in range(start_epoch, cfg.epochs):
-        t0 = time.time()
-        loader = PrefetchLoader(
-            lambda: train_ds.batches(cfg.batch_size, shuffle=True,
-                                     seed=cfg.seed + epoch))
-        if not cfg.dry:
-            for i, batch in enumerate(loader):
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            t0 = time.time()
+            loader = PrefetchLoader(
+                lambda: train_ds.batches(cfg.batch_size, shuffle=True,
+                                         seed=cfg.seed + epoch))
+            if not cfg.dry:
+                for i, batch in enumerate(loader):
+                    batch.pop("uids", None)
+                    batch.pop("n_valid", None)
+                    task = eng.task_for_step(global_step)
+                    state, metrics = eng.train_step(task)(
+                        state, eng.place(batch), rng, centroids)
+                    if is_main and (i % 50 == 0):
+                        loss = float(np.asarray(metrics["total_loss"]))
+                        meters.setdefault(task, LossMeter()).update(loss)
+                        logger.scalars(global_step, {
+                            f"{task}/loss": loss,
+                            "grad_norm": float(np.asarray(metrics["grad_norm"]))})
+                    global_step += 1
+
+            # eval epoch (lxmert_pretrain.py:553-673)
+            eval_metrics = {}
+            for i, batch in enumerate(valid_ds.batches(cfg.batch_size)):
                 batch.pop("uids", None)
                 batch.pop("n_valid", None)
-                task = eng.task_for_step(global_step)
-                state, metrics = eng.train_step(task)(
-                    state, eng.place(batch), rng, centroids)
-                if is_main and (i % 50 == 0):
-                    loss = float(np.asarray(metrics["total_loss"]))
-                    meters.setdefault(task, LossMeter()).update(loss)
-                    logger.scalars(global_step, {
-                        f"{task}/loss": loss,
-                        "grad_norm": float(np.asarray(metrics["grad_norm"]))})
-                global_step += 1
+                for task in cfg.mask_modalities:
+                    m = eng.eval_step(task)(state.params, eng.place(batch),
+                                            jax.random.PRNGKey(epoch), centroids)
+                    eval_metrics.setdefault(task, LossMeter()).update(
+                        float(np.asarray(m["total_loss"])))
+            if is_main:
+                summary = {f"valid/{t}": m.val for t, m in eval_metrics.items()}
+                logger.scalars(global_step, summary)
+                logger.info(f"epoch {epoch}: {summary} "
+                            f"({time.time() - t0:.0f}s)")
+                if cfg.save_full_state:
+                    from xlxmert_tpu.core.checkpoint import train_state_to_tree
 
-        # eval epoch (lxmert_pretrain.py:553-673)
-        eval_metrics = {}
-        for i, batch in enumerate(valid_ds.batches(cfg.batch_size)):
-            batch.pop("uids", None)
-            batch.pop("n_valid", None)
-            for task in cfg.mask_modalities:
-                m = eng.eval_step(task)(state.params, eng.place(batch),
-                                        jax.random.PRNGKey(epoch), centroids)
-                eval_metrics.setdefault(task, LossMeter()).update(
-                    float(np.asarray(m["total_loss"])))
-        if is_main:
-            summary = {f"valid/{t}": m.val for t, m in eval_metrics.items()}
-            logger.scalars(global_step, summary)
-            logger.info(f"epoch {epoch}: {summary} "
-                        f"({time.time() - t0:.0f}s)")
-            ckpt.save(state.params,
-                      str(Path(cfg.output) / epoch_ckpt_name(epoch + 1)))
-            if cfg.save_full_state:
-                from xlxmert_tpu.core.checkpoint import (
-                    save_pytree, train_state_to_tree)
-
-                # synchronous (ckpt holds the slot for the params file);
-                # full state is the resume-critical artifact
-                save_pytree(train_state_to_tree(state),
-                            str(Path(cfg.output)
-                                / f"Epoch{epoch + 1:02d}_FULL.msgpack"))
-    ckpt.wait()
+                    # one host snapshot -> both files (FULL + params alias)
+                    ckpt.save_full(
+                        train_state_to_tree(state, total_steps=total_steps),
+                        str(Path(cfg.output)
+                            / f"Epoch{epoch + 1:02d}_FULL.msgpack"),
+                        str(Path(cfg.output) / epoch_ckpt_name(epoch + 1)))
+                else:
+                    ckpt.save(state.params,
+                              str(Path(cfg.output) / epoch_ckpt_name(epoch + 1)))
+    finally:
+        # queued async save survives exceptions/KeyboardInterrupt —
+        # without this the daemon writer dies mid-write and the
+        # epoch's checkpoint is silently lost
+        ckpt.wait()
     logger.close()
 
 

@@ -66,6 +66,25 @@ class AsyncCheckpointer:
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
 
+    def save_full(self, full_tree: Any, full_path: str,
+                  params_path: str) -> None:
+        """One host snapshot, two files: the full train-state checkpoint
+        AND its params slice (the reference-named Epoch%02d_LXRT file) —
+        avoids double D2H + double serialization of the GB-scale
+        params when --save_full_state is on."""
+        self.wait()
+        host_tree = jax.tree.map(lambda x: np.array(x, copy=True), full_tree)
+
+        def work():
+            try:
+                save_pytree(host_tree, full_path)
+                save_pytree(host_tree["params"], params_path)
+            except BaseException as e:
+                self._exc = e
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
     def wait(self) -> None:
         if self._thread is not None:
             self._thread.join()
@@ -108,39 +127,50 @@ def merge_params(target: Any, loaded: Any):
     return walk(target, loaded, ()), missing, unexpected
 
 
-def train_state_to_tree(state) -> dict:
+def train_state_to_tree(state, total_steps: Optional[int] = None) -> dict:
     """TrainState -> plain pytree for full-fidelity checkpoints (params
     + optimizer moments + step). The reference saves only the model
     state_dict and rebuilds optimizer/scheduler on resume
     (lxmert_pretrain.py:675-685) — Adam moments are lost and the LR
-    schedule restarts from warmup. This is the exact-resume extension."""
-    return {"params": state.params, "opt_state": state.opt_state,
+    schedule restarts from warmup. This is the exact-resume extension.
+    `total_steps` records the LR-schedule horizon so resume can detect
+    a changed horizon (bit-exactness only holds when it matches)."""
+    tree = {"params": state.params, "opt_state": state.opt_state,
             "step": state.step}
+    if total_steps is not None:
+        tree["total_steps"] = np.asarray(total_steps, np.int32)
+    return tree
 
 
 def restore_train_state(state, tree_or_path):
     """Restore a full train-state checkpoint into `state`, preserving
     each leaf's device sharding. `tree_or_path` is a path or an
     msgpack_restore'd dict. Structure must match exactly (loud failure
-    when the config changed between save and resume)."""
+    when the config changed between save and resume). Returns
+    (state, saved_total_steps or None) — the caller should compare the
+    horizon against its own (cli/pretrain warns on mismatch)."""
     import jax.numpy as jnp
     from flax import serialization
 
     tree = (load_pytree(tree_or_path) if isinstance(tree_or_path, str)
-            else tree_or_path)
-    template = train_state_to_tree(state)
+            else dict(tree_or_path))
+    saved_total = tree.pop("total_steps", None)
+    if saved_total is not None:
+        saved_total = int(np.asarray(saved_total))
+    template = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
     restored = serialization.from_state_dict(template, tree)
     placed = jax.tree.map(
         lambda x, ref: jax.device_put(jnp.asarray(x), ref.sharding),
         restored, template)
     return state.replace(params=placed["params"],
                          opt_state=placed["opt_state"],
-                         step=placed["step"])
+                         step=placed["step"]), saved_total
 
 
 def is_full_state_tree(tree: Any) -> bool:
     return (isinstance(tree, dict)
-            and set(tree) == {"params", "opt_state", "step"})
+            and {"params", "opt_state", "step"} <= set(tree))
 
 
 def epoch_ckpt_name(epoch: int) -> str:
@@ -154,10 +184,20 @@ def parse_start_epoch(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def load_any_checkpoint(path: str) -> Any:
-    """Load either our msgpack format or a torch .pth (converted)."""
+def load_any_checkpoint(path: str, keep_full_state: bool = False) -> Any:
+    """Load either our msgpack format or a torch .pth (converted).
+
+    Full-state checkpoints (Epoch%02d_FULL.msgpack) are unwrapped to
+    their params subtree by default, so every params-consuming path
+    (finetune --loadLXMERT, serve, sample) works transparently instead
+    of silently matching nothing in a strict=False overlay. Pass
+    keep_full_state=True to get the whole {params, opt_state, step}
+    tree (cli/pretrain's exact resume)."""
     if path.endswith((".pth", ".pt", ".bin")):
         from xlxmert_tpu.core.convert import load_torch_checkpoint
 
         return load_torch_checkpoint(path)
-    return load_pytree(path)
+    tree = load_pytree(path)
+    if is_full_state_tree(tree) and not keep_full_state:
+        return tree["params"]
+    return tree

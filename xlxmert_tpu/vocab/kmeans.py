@@ -152,7 +152,10 @@ def kmeans(
         init_idx = rng.choice(n, size=k, replace=n < k)
         centroids = jnp.asarray(data[init_idx], jnp.float32)
     if chunk == 0 and n * k * 4 > 1 << 30:
-        chunk = 65536
+        # balanced tiles instead of a hard 65536: N just over one tile
+        # would otherwise pad up to ~2x with zero rows (wasted matmuls)
+        n_tiles = -(-n // 65536)
+        chunk = -(-(-(-n // n_tiles)) // 256) * 256
     x = jnp.asarray(data, dtype=store_dtype)
     if chunk:
         pad = (-n) % chunk
