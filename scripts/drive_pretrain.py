@@ -24,6 +24,11 @@ parser.add_argument("--no_dropout", action="store_true",
                     "PRNG + mask cost in the train step")
 parser.add_argument("--rng_impl", default=None,
                     help="ablation: jax_default_prng_impl (e.g. rbg)")
+parser.add_argument("--attrib", type=int, default=0, metavar="K",
+                    help="step-time attribution: time K-chained variants "
+                    "of the vis_mask step — forward-only, forward+grad "
+                    "(no update), full step — to decompose fwd/bwd/"
+                    "optimizer cost (docs/CEILING.md training section)")
 args = parser.parse_args()
 
 import jax
@@ -110,5 +115,69 @@ if args.chain:
         per_step = best / K
         print(f"chained x{K} task={task:<9} {per_step*1e3:7.1f} ms/step "
               f"{cfg.batch_size/per_step:8.1f} ex/s/chip")
+
+if args.attrib:
+    # Decompose the train step: time K-chained variants that share the
+    # batch + rng discipline of chained_train_step (fold by a step
+    # counter; loss accumulates as the scan carry so iterations are
+    # dependent; one fetch per measurement — tunnel-honest timing).
+    import optax
+
+    K = args.attrib
+    task = "vis_mask"
+    lf = eng.loss_fn(task)
+    params = state.params
+    opt_state = state.opt_state
+
+    def timed(fn, *fn_args):
+        out = fn(*fn_args)  # compile + warm
+        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(*fn_args)
+            float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+            best = min(best, time.time() - t0)
+        return best / K
+
+    @jax.jit
+    def fwd_only(params, batch, rng, centroids):
+        def body(acc, i):
+            r = jax.random.fold_in(rng, i)
+            loss, _ = lf(params, batch, r, centroids, False)
+            return acc + loss, None
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(K))
+        return acc
+
+    @jax.jit
+    def fwd_bwd(params, batch, rng, centroids):
+        def body(acc, i):
+            r = jax.random.fold_in(rng, i)
+            (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(
+                params, batch, r, centroids, False)
+            gn = optax.global_norm(grads)
+            return acc + loss + gn * 1e-30, None
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(K))
+        return acc
+
+    @jax.jit
+    def full(state, batch, rng, centroids):
+        def body(s, i):
+            s2, m = eng._raw_train_steps[task](s, batch, rng, centroids)
+            return s2, m["total_loss"]
+        s, losses = jax.lax.scan(body, state, jnp.arange(K))
+        return losses.mean()
+
+    t_fwd = timed(fwd_only, params, batch, rng, centroids)
+    t_fb = timed(fwd_bwd, params, batch, rng, centroids)
+    t_full = timed(full, state, batch, rng, centroids)
+    B = cfg.batch_size
+    print(f"attrib (task={task}, B={B}, K={K}):")
+    print(f"  forward only        {t_fwd*1e3:7.1f} ms/step "
+          f"({B/t_fwd:8.1f} ex/s)")
+    print(f"  forward+grad        {t_fb*1e3:7.1f} ms/step "
+          f"({B/t_fb:8.1f} ex/s)  bwd = {1e3*(t_fb-t_fwd):.1f} ms")
+    print(f"  full step (+optim)  {t_full*1e3:7.1f} ms/step "
+          f"({B/t_full:8.1f} ex/s)  optim = {1e3*(t_full-t_fb):.1f} ms")
 
 print("OK")

@@ -134,6 +134,70 @@ def test_full_state_exact_resume():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_gan_full_state_exact_resume():
+    """restore_state on GanState: 2 (D,G) pairs + save/restore + 2 more
+    == 4 straight pairs, bit-identical (discriminator, SN vectors, both
+    optimizers, step all survive)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from xlxmert_tpu.core.checkpoint import restore_state
+    from xlxmert_tpu.core.config import GanConfig
+    from xlxmert_tpu.tasks.train_generator import GanEngine
+
+    cfg = GanConfig(emb_dim=12, codebook_dim=8, g_base_dim=4, d_base_dim=4,
+                    init_H=2, init_W=2, target_size=8, n_classes=5,
+                    mixed_precision=False, batch_size=8)
+    r = np.random.RandomState(3)
+    centroids_np = r.randn(5, 12).astype(np.float32)
+    cluster_id = r.randint(0, 5, (8, 4)).astype(np.int32)
+
+    def make():
+        eng = GanEngine(cfg)
+        batch = eng.place({
+            "image": np.tanh(r2.randn(8, 8, 8, 3)).astype(np.float32),
+            "code": centroids_np[cluster_id].reshape(8, 2, 2, 12),
+            "cluster_id": cluster_id,
+        })
+        return eng, batch
+
+    r2 = np.random.RandomState(4)
+    centroids = jnp.asarray(centroids_np)
+    rng = jax.random.PRNGKey(7)
+
+    def pairs(eng, state, batch, n, start):
+        for i in range(start, start + n):
+            state, _ = eng.d_step()(state, batch, centroids,
+                                    jax.random.fold_in(rng, 2 * i))
+            state, _ = eng.g_step()(state, batch, centroids,
+                                    jax.random.fold_in(rng, 2 * i + 1))
+        return state
+
+    r2 = np.random.RandomState(4)
+    eng, batch = make()
+    ref = pairs(eng, eng.create_state(jax.random.PRNGKey(0), centroids),
+                batch, 4, 0)
+
+    r2 = np.random.RandomState(4)
+    eng2, batch2 = make()
+    st = pairs(eng2, eng2.create_state(jax.random.PRNGKey(0), centroids),
+               batch2, 2, 0)
+    blob = serialization.to_bytes(
+        jax.tree.map(np.asarray, serialization.to_state_dict(st)))
+    tree = serialization.msgpack_restore(blob)
+
+    r2 = np.random.RandomState(4)
+    eng3, batch3 = make()
+    st3 = eng3.create_state(jax.random.PRNGKey(5), centroids)  # diverged
+    st3, _ = restore_state(st3, tree)
+    assert int(np.asarray(st3.step)) == int(np.asarray(st.step))
+    st3 = pairs(eng3, st3, batch3, 2, 2)
+
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(st3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_merge_params_reports_missing_and_unexpected():
     target = {"x": np.zeros(2), "y": {"z": np.zeros(3)}}
     loaded = {"x": np.ones(2), "extra": np.ones(1)}

@@ -41,6 +41,49 @@ def test_train_generator_cli(tmp_path):
     assert "g_total" in scalars and "d_total" in scalars
 
 
+def test_train_generator_full_state_resume(tmp_path):
+    """--save_full_state + --resume: D, SN vectors, and both optimizer
+    states survive (the reference cannot resume GAN training at all —
+    only G is checkpointed and its trainer.py is missing upstream).
+    Engine-level bit-equality is pinned in test_checkpoint.py."""
+    from PIL import Image
+
+    from xlxmert_tpu.cli.train_generator import main
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    n_grid, emb_dim, n_classes = 2, 16, 7
+    cluster_map = {}
+    for i in range(16):
+        name = f"im{i:02d}"
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"{name}.jpg")
+        cluster_map[name] = rng.randint(0, n_classes,
+                                        (n_grid * n_grid,)).astype(np.int64)
+    np.save(tmp_path / "centroids.npy",
+            (rng.randn(n_classes, emb_dim) * 0.2).astype(np.float32))
+    with open(tmp_path / "clusters.pkl", "wb") as f:
+        pickle.dump(cluster_map, f)
+
+    base = ["--images_dir", str(img_dir),
+            "--centroids", str(tmp_path / "centroids.npy"),
+            "--cluster_pkl", str(tmp_path / "clusters.pkl"),
+            "--output", str(tmp_path / "snap_g"),
+            "--batch_size", "8",
+            "--g_base_dim", "8", "--d_base_dim", "8",
+            "--codebook_dim", "8", "--emb_dim", str(emb_dim),
+            "--n_grid", str(n_grid), "--resize_target_size", "16",
+            "--fp32", "--save_full_state"]
+    main(base + ["--epochs", "1"])
+    full = tmp_path / "snap_g" / "G_0_FULL.msgpack"
+    assert full.exists()
+    main(base + ["--epochs", "2", "--resume", str(full)])
+    assert (tmp_path / "snap_g" / "G_1.msgpack").exists()
+    log = (tmp_path / "snap_g" / "log.txt").read_text()
+    assert "exact-resumed GAN state" in log
+
+
 def test_pretrain_dry_flag(tmp_path):
     """--dry: eval-only pass, no training, no crash
     (reference lxmert_pretrain.py:238-239)."""

@@ -53,6 +53,15 @@ def parse_args(argv=None):
     p.add_argument("--rng_impl", default="rbg",
                    choices=["rbg", "threefry2x32", "unsafe_rbg"])
     p.add_argument("--train_topk", type=int, default=-1)
+    p.add_argument("--save_full_state", action="store_true",
+                   help="also save G_{epoch}_FULL.msgpack (G+D params, "
+                   "SN vectors, BN stats, both optimizers, step) for "
+                   "exact resume via --resume")
+    p.add_argument("--resume", default=None,
+                   help="G_{epoch}_FULL.msgpack to exact-resume from "
+                   "(restores discriminator + optimizer state; the "
+                   "reference cannot resume GAN training at all — its "
+                   "trainer.py is missing and only G is checkpointed)")
     return p.parse_args(argv)
 
 
@@ -141,7 +150,19 @@ def main(argv=None):
     rng = jax.random.PRNGKey(cfg.seed)
     meters = {"g": LossMeter(), "d": LossMeter()}
     step = 0
-    for epoch in range(cfg.epochs):
+    start_epoch = 0
+    if ns.resume:
+        import re
+
+        from xlxmert_tpu.core.checkpoint import restore_state
+
+        state, _ = restore_state(state, ns.resume)
+        step = int(np.asarray(state.step))
+        m = re.search(r"G_(\d+)_FULL", Path(ns.resume).name)
+        start_epoch = int(m.group(1)) + 1 if m else 0
+        logger.info(f"exact-resumed GAN state from {ns.resume} at "
+                    f"epoch {start_epoch}, step {step}")
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         loader = PrefetchLoader(lambda: image_code_batches(
             paths, cluster_map, centroids_np, cfg, cfg.batch_size,
@@ -167,6 +188,12 @@ def main(argv=None):
             if state.stats_g:
                 tree["batch_stats"] = jax.tree.map(np.asarray, state.stats_g)
             save_pytree(tree, str(Path(cfg.output) / f"G_{epoch}.msgpack"))
+            if ns.save_full_state:
+                from flax import serialization
+
+                save_pytree(serialization.to_state_dict(state),
+                            str(Path(cfg.output)
+                                / f"G_{epoch}_FULL.msgpack"))
     logger.close()
 
 

@@ -142,13 +142,12 @@ def train_state_to_tree(state, total_steps: Optional[int] = None) -> dict:
     return tree
 
 
-def restore_train_state(state, tree_or_path):
-    """Restore a full train-state checkpoint into `state`, preserving
-    each leaf's device sharding. `tree_or_path` is a path or an
-    msgpack_restore'd dict. Structure must match exactly (loud failure
-    when the config changed between save and resume). Returns
-    (state, saved_total_steps or None) — the caller should compare the
-    horizon against its own (cli/pretrain warns on mismatch)."""
+def restore_state(state, tree_or_path):
+    """Generic exact-restore of any flax PyTreeNode state (TrainState,
+    GanState, ...) from a `serialization.to_state_dict`-shaped tree,
+    preserving each leaf's device sharding. Structure must match
+    exactly (loud failure when the config changed between save and
+    resume). Returns (state, saved_total_steps or None)."""
     import jax.numpy as jnp
     from flax import serialization
 
@@ -157,15 +156,20 @@ def restore_train_state(state, tree_or_path):
     saved_total = tree.pop("total_steps", None)
     if saved_total is not None:
         saved_total = int(np.asarray(saved_total))
-    template = {"params": state.params, "opt_state": state.opt_state,
-                "step": state.step}
-    restored = serialization.from_state_dict(template, tree)
+    restored = serialization.from_state_dict(state, tree)
     placed = jax.tree.map(
         lambda x, ref: jax.device_put(jnp.asarray(x), ref.sharding),
-        restored, template)
-    return state.replace(params=placed["params"],
-                         opt_state=placed["opt_state"],
-                         step=placed["step"]), saved_total
+        restored, state)
+    return placed, saved_total
+
+
+def restore_train_state(state, tree_or_path):
+    """TrainState flavor of restore_state: accepts the {params,
+    opt_state, step[, total_steps]} trees written by cli/pretrain
+    --save_full_state. Returns (state, saved_total_steps or None) —
+    the caller should compare the horizon against its own
+    (cli/pretrain warns on mismatch)."""
+    return restore_state(state, tree_or_path)
 
 
 def is_full_state_tree(tree: Any) -> bool:

@@ -188,6 +188,7 @@ class PretrainEngine:
         self._train_steps: Dict[str, Any] = {}
         self._raw_train_steps: Dict[str, Any] = {}
         self._eval_steps: Dict[str, Any] = {}
+        self._loss_fns: Dict[str, Any] = {}
 
     # -- initialization -----------------------------------------------------
     def init_params(self, rng) -> Any:
@@ -271,6 +272,8 @@ class PretrainEngine:
                 metrics["qa_pred"] = losses["qa_pred"]
             return losses["total_loss"], metrics
 
+        self._loss_fns[task] = loss_fn
+
         if train:
             def step(state: TrainState, batch, rng, centroids):
                 rng = jax.random.fold_in(rng, state.step)
@@ -294,6 +297,16 @@ class PretrainEngine:
         if task not in self._train_steps:
             self._train_steps[task] = self._make_step(task, train=True)
         return self._train_steps[task]
+
+    def loss_fn(self, task: str):
+        """The raw per-task loss closure
+        fn(params, batch, rng, centroids, deterministic) -> (loss,
+        metrics) — un-jitted, for step-time attribution probes
+        (scripts/drive_pretrain.py --attrib) that need forward-only /
+        grad-only variants of the exact training computation."""
+        if task not in self._loss_fns:
+            self.train_step(task)
+        return self._loss_fns[task]
 
     def chained_train_step(self, task: str, k: int,
                            per_step_batches: bool = False):
