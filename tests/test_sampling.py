@@ -138,6 +138,26 @@ def test_ar_order_strategy():
     assert (np.abs(np.asarray(code)).sum(axis=-1) > 0).all()
 
 
+def test_ar_order_wraps_and_validates_positions():
+    """Reference semantics: positions wrap into the grid (% n_grids,
+    imggen_model.py:103); short position arrays and unknown strategies
+    fail loudly at build/call time instead of silently clamping."""
+    import pytest
+
+    model, params, centroids, ids, mask = setup_model(seed=7)
+    base = jnp.asarray(np.random.RandomState(1).permutation(N_CELLS))
+    sampler = make_ar_sampler(model, GRID, "order")
+    _, ref_ids = sampler(params, centroids, ids, mask, base)
+    # +N_CELLS wraps to the same order -> identical commitment pattern
+    _, wrap_ids = sampler(params, centroids, ids, mask, base + N_CELLS)
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(wrap_ids))
+
+    with pytest.raises(ValueError, match="entries for"):
+        sampler(params, centroids, ids, mask, base[: N_CELLS // 2])
+    with pytest.raises(ValueError, match="strategy"):
+        make_ar_sampler(model, GRID, "random")
+
+
 def test_nar_collect_intermediate():
     model, params, centroids, ids, mask = setup_model(seed=9)
     sampler = make_nar_sampler(model, 3, GRID, collect_intermediate=True)

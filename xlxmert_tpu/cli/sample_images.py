@@ -111,7 +111,14 @@ def main(argv=None):
         )
 
         tok0 = Tokenizer(ns.vocab)
-        first = sentences[:ns.batch_size]
+        # calibrate on sentences sampled across the WHOLE stream, not
+        # the first batch — first-batch-only scales silently clip later
+        # atypical prompts (same fix as cli/serve.py's stream-wide
+        # calibration, advisor finding r2)
+        idx = np.linspace(0, len(sentences) - 1,
+                          num=min(len(sentences), ns.batch_size),
+                          dtype=int)
+        first = [sentences[i] for i in idx]
         ids0 = tok0.encode_batch(
             first + [""] * (ns.batch_size - len(first)), ns.max_text_length)
         np_params = jax.tree.map(np.asarray, dict(params))

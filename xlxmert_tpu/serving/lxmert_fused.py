@@ -85,10 +85,14 @@ def prepare_fused(sqp: Dict, cfg: LxmertConfig) -> Dict:
 
 
 def _run_block(ctx, x, blk, block_rows):
-    return fused_block(
+    """fused_block with a uniform (y, tail) return: the last block of a
+    stack has tail=None when there are no x-layers (prepare_fused builds
+    that), and fused_block then returns a bare array."""
+    out = fused_block(
         ctx, x, blk["out"], blk["ln1"]["scale"], blk["ln1"]["bias"],
         blk["w1"], blk["w2"], blk["ln2"]["scale"], blk["ln2"]["bias"],
         tail_w=blk["tail"], has_ffn=True, block_rows=block_rows)
+    return out if isinstance(out, tuple) else (out, None)
 
 
 def _attn(qkv, bias, n_heads):
@@ -122,19 +126,13 @@ def lxmert_forward_fused(fp: Dict, input_ids, visual_feats, visual_pos,
     qkv = int8_dense_static(lang, fp["lang_qkv0"])
     for blk in fp["lang"]:
         ctx = _attn(qkv, lang_bias, n_heads)
-        lang, qkv = fused_block(
-            ctx, lang, blk["out"], blk["ln1"]["scale"], blk["ln1"]["bias"],
-            blk["w1"], blk["w2"], blk["ln2"]["scale"], blk["ln2"]["bias"],
-            tail_w=blk["tail"], has_ffn=True, block_rows=block_rows)
-    lang_qkv_x = qkv  # q|kv of x-layer 0, lang side
+        lang, qkv = _run_block(ctx, lang, blk, block_rows)
+    lang_qkv_x = qkv  # q|kv of x-layer 0, lang side (None if no x-layers)
 
     qkv = int8_dense_static(visn, fp["visn_qkv0"])
     for blk in fp["visn"]:
         ctx = _attn(qkv, visn_bias, n_heads)
-        visn, qkv = fused_block(
-            ctx, visn, blk["out"], blk["ln1"]["scale"], blk["ln1"]["bias"],
-            blk["w1"], blk["w2"], blk["ln2"]["scale"], blk["ln2"]["bias"],
-            tail_w=blk["tail"], has_ffn=True, block_rows=block_rows)
+        visn, qkv = _run_block(ctx, visn, blk, block_rows)
     visn_qkv_x = qkv
 
     for xb in fp["x"]:
@@ -159,10 +157,10 @@ def lxmert_forward_fused(fp: Dict, input_ids, visual_feats, visual_pos,
         ctx = _attn(sq_v, visn_bias, n_heads)
         out_v = _run_block(ctx, new_visn, xb["visn_self"],
                            block_rows)
-        if xb["lang_self"]["tail"] is not None:
-            (lang, lang_qkv_x), (visn, visn_qkv_x) = out_l, out_v
-        else:
-            lang, visn = out_l, out_v
+        # uniform (y, tail) from _run_block; tail is None on the last
+        # x-layer (no next QKV to fuse) and simply goes unused
+        lang, lang_qkv_x = out_l
+        visn, visn_qkv_x = out_v
 
     pooled = jnp.tanh(lang[:, 0] @ fp["pooler"]["kernel"]
                       + fp["pooler"]["bias"])

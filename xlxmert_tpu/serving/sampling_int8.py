@@ -204,6 +204,9 @@ def make_ar_sampler_int8(cfg: LxmertConfig, grid_size: int = 8,
     """
     import functools
 
+    if strategy not in ("confidence", "TLBR", "order"):
+        raise ValueError(
+            f"strategy {strategy!r} not in ('confidence', 'TLBR', 'order')")
     n_cells = grid_size * grid_size
     n_steps = n_steps or n_cells
     box_pos = jnp.asarray(box_position(grid_size))
@@ -211,6 +214,12 @@ def make_ar_sampler_int8(cfg: LxmertConfig, grid_size: int = 8,
     NEG = -10000.0  # matches reference masked_fill (imggen_model.py:141)
 
     def _run(sp, centroids, input_ids, attention_mask, positions):
+        if positions is not None:
+            if positions.shape[0] < n_steps:
+                raise ValueError(
+                    f"positions has {positions.shape[0]} entries for "
+                    f"{n_steps} steps")
+            positions = positions % n_cells  # imggen_model.py:103
         B = input_ids.shape[0]
         D = centroids.shape[1]
         centroids_bf16 = centroids.astype(jnp.bfloat16)

@@ -111,11 +111,23 @@ def make_ar_sampler(model: XLxmert, grid_size: int = 8,
     Returns fn(params, centroids, input_ids, attention_mask[, positions])
       -> (code, cluster_ids).
     """
+    if strategy not in ("confidence", "TLBR", "order"):
+        raise ValueError(
+            f"strategy {strategy!r} not in ('confidence', 'TLBR', 'order') "
+            "— the reference's random order is 'order' with a shuffled "
+            "positions array (imggen_model.py:78-90)")
     n_cells = grid_size * grid_size
     n_steps = n_steps or n_cells
     box_pos = jnp.asarray(box_position(grid_size))
 
     def _run(params, centroids, input_ids, attention_mask, positions):
+        if positions is not None:
+            if positions.shape[0] < n_steps:
+                raise ValueError(
+                    f"positions has {positions.shape[0]} entries for "
+                    f"{n_steps} steps")
+            # reference wraps positions into the grid (imggen_model.py:103)
+            positions = positions % n_cells
         B = input_ids.shape[0]
         D = centroids.shape[1]
         pos = jnp.broadcast_to(box_pos[None], (B, n_cells, 4))
