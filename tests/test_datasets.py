@@ -87,6 +87,75 @@ def test_vqa_dataset_batches(fixtures):
     assert ds.evaluator.evaluate({0: "dog"}) == 1.0
 
 
+def test_vqa_multi_split_h5_routing(fixtures):
+    """--train train,nominival mixes train2014 and val2014 images: each
+    datum must read from its OWN split family's h5 (vqa_data.py:83-121
+    tags every datum with its source)."""
+    import h5py
+
+    root, tok, _ = fixtures
+    rng = np.random.RandomState(7)
+    valid_feats = {f"vimg{i}": rng.randn(GRID, GRID, 8).astype(np.float32)
+                   for i in range(3)}
+    vpath = root / "mscoco_imgfeat" / "maskrcnn_valid_grid2.h5"
+    if not vpath.exists():
+        with h5py.File(vpath, "w") as f:
+            for k, v in valid_feats.items():
+                f.create_group(k).create_dataset("features", data=v)
+    nominival = [{"question_id": 100 + q, "img_id": f"vimg{q % 3}",
+                  "sent": "a red cat", "label": {"cat": 1.0}}
+                 for q in range(4)]
+    (root / "vqa" / "nominival.json").write_text(json.dumps(nominival))
+
+    ds = VQADataset.from_files(root, "train,nominival", tok,
+                               grid_size=GRID, max_text_length=8)
+    assert len(ds) == 14
+    assert isinstance(ds.feat, dict) and set(ds.feat) == {"train", "valid"}
+    # one batch containing nominival examples reads the valid h5
+    batches = list(ds.batches(7))
+    feats = batches[-1]["vis_feats"]
+    np.testing.assert_allclose(
+        feats[-1], valid_feats["vimg0"].reshape(V, 8), rtol=1e-6)
+
+
+def test_batches_drop_last(fixtures):
+    root, tok, _ = fixtures
+    ds = VQADataset.from_files(root, "train", tok, grid_size=GRID,
+                               max_text_length=8)
+    assert len(list(ds.batches(4, drop_last=True))) == 2  # 10 -> 4,4
+    # smaller than one batch: fall back to the single padded batch
+    ds.data = ds.data[:3]
+    assert len(list(ds.batches(4, drop_last=True))) == 1
+
+
+def test_prefetch_loader_propagates_worker_errors():
+    from xlxmert_tpu.data.io import PrefetchLoader
+
+    def bad():
+        yield 1
+        raise RuntimeError("loader blew up")
+
+    it = iter(PrefetchLoader(bad))
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="loader blew up"):
+        list(it)
+
+
+def test_matched_negative_sampling_bounded(fixtures):
+    """All captions of ONE image: negative sampling must terminate with
+    matched=1 instead of spinning (the reference's unbounded retry
+    lxmert_data.py:350-357 would hang)."""
+    root, tok, _ = fixtures
+    corpus = [{"img_id": "img0",
+               "sentf": {"mscoco": ["a dog runs", "a cat sits",
+                                    "a red dog", "a cat runs"]}}]
+    ds = PretrainDataset(corpus, tok, ClusterMap(root / "clusters.pkl"),
+                         grid_size=GRID, max_text_length=8)
+    assert len(ds) == 4
+    b = next(iter(ds.batches(4, shuffle=True, seed=0)))
+    assert (np.asarray(b["matched_label"]) == 1).all()
+
+
 def test_nlvr2_dataset_batches(fixtures):
     root, tok, _ = fixtures
     ds = NLVR2Dataset.from_files(root, "train", tok, grid_size=GRID,

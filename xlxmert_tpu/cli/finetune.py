@@ -122,7 +122,8 @@ def run(task: str, argv=None):
         meter = LossMeter()
         loader = PrefetchLoader(
             lambda: train_ds.batches(cfg.batch_size, shuffle=True,
-                                     seed=cfg.seed + epoch))
+                                     seed=cfg.seed + epoch,
+                                     drop_last=True))
         for i, batch in enumerate(loader):
             batch.pop("question_ids")
             batch.pop("n_valid")

@@ -268,7 +268,8 @@ def main(argv=None):
             t0 = time.time()
             loader = PrefetchLoader(
                 lambda: train_ds.batches(cfg.batch_size, shuffle=True,
-                                         seed=cfg.seed + epoch))
+                                         seed=cfg.seed + epoch,
+                                         drop_last=True))
             if not cfg.dry:
                 for i, batch in enumerate(loader):
                     batch.pop("uids", None)

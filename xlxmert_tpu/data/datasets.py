@@ -76,18 +76,31 @@ class _QABase:
                 t[self.ans2label[ans]] = score
         return t
 
+    def _reader_for(self, datum):
+        """Per-datum h5 routing: the reference tags every datum with its
+        source split and maps source -> h5 (vqa_data.py:83-121) — e.g.
+        --train train,nominival mixes train2014 and val2014 images."""
+        if isinstance(self.feat, dict):
+            return self.feat[datum["_h5"]]
+        return self.feat
+
     def batches(self, batch_size: int, shuffle: bool = False,
-                seed: int = 0, test: bool = False) -> Iterable[Dict[str, Any]]:
+                seed: int = 0, test: bool = False,
+                drop_last: bool = False) -> Iterable[Dict[str, Any]]:
         order = list(range(len(self.data)))
         if shuffle:
             random.Random(seed).shuffle(order)
         V = self.grid_size ** 2
-        for s in range(0, len(order), batch_size):
+        end = len(order)
+        if drop_last and end >= batch_size:
+            end -= end % batch_size  # see PretrainDataset.batches
+        for s in range(0, end, batch_size):
             idxs = order[s:s + batch_size]
             data = [self.data[i] for i in idxs]
             word_ids = self.tokenizer.encode_batch(
                 [d["sent"] for d in data], self.max_text_length)
-            feats = [self.feat.get(d["img_id"]).reshape(V, -1) for d in data]
+            feats = [self._reader_for(d).get(d["img_id"]).reshape(V, -1)
+                     for d in data]
             batch = {
                 "question_ids": [d["question_id"] for d in data],
                 "n_valid": len(data),
@@ -109,18 +122,32 @@ class VQADataset(_QABase):
     def from_files(cls, data_root, splits: str, tokenizer,
                    encoder: str = "maskrcnn", grid_size: int = 8, **kw):
         root = Path(data_root)
+
+        # h5 routing PER SOURCE SPLIT (vqa_data.py:83-121): each datum is
+        # tagged with its split's h5 family — --train train,nominival
+        # mixes train2014 and val2014 images in one run
+        def fam(split):
+            if "train" in split:
+                return "train"
+            if "nominival" in split or "minival" in split:
+                return "valid"
+            return "test"
+
         data: List[dict] = []
+        readers: Dict[str, GridFeatureReader] = {}
         for split in splits.split(","):
-            data.extend(load_json(root / "vqa" / f"{split}.json"))
+            f = fam(split)
+            if f not in readers:
+                readers[f] = GridFeatureReader(
+                    root / "mscoco_imgfeat"
+                    / f"{encoder}_{f}_grid{grid_size}.h5")
+            part = load_json(root / "vqa" / f"{split}.json")
+            for d in part:
+                d["_h5"] = f
+            data.extend(part)
         ans2label = load_json(root / "vqa" / "trainval_ans2label.json")
         label2ans = load_json(root / "vqa" / "trainval_label2ans.json")
-        # h5 routing per split family (vqa_data.py:105-118)
-        split0 = splits.split(",")[0]
-        h5_split = ("train" if "train" in split0
-                    else "valid" if ("nominival" in split0 or "minival" in split0)
-                    else "test")
-        feat = GridFeatureReader(
-            root / "mscoco_imgfeat" / f"{encoder}_{h5_split}_grid{grid_size}.h5")
+        feat = readers if len(readers) > 1 else next(iter(readers.values()))
         ds = cls(data, tokenizer, feat, ans2label, label2ans,
                  grid_size=grid_size, **kw)
         ds.evaluator = VQAEvaluator(ds.id2datum)
@@ -169,12 +196,21 @@ class NLVR2Dataset:
     def from_files(cls, data_root, splits: str, tokenizer,
                    encoder: str = "maskrcnn", grid_size: int = 8, **kw):
         root = Path(data_root)
+        # one h5 per split, routed per datum (the reference indexes
+        # data_source_to_h5_path by the single split name,
+        # nlvr2_data.py:75-90, and would KeyError on a comma list)
         data: List[dict] = []
+        readers: Dict[str, GridFeatureReader] = {}
         for split in splits.split(","):
-            data.extend(load_json(root / "nlvr2" / f"{split}.json"))
-        split0 = splits.split(",")[0]
-        feat = GridFeatureReader(
-            root / "nlvr2_imgfeat" / f"{encoder}_{split0}_grid{grid_size}.h5")
+            if split not in readers:
+                readers[split] = GridFeatureReader(
+                    root / "nlvr2_imgfeat"
+                    / f"{encoder}_{split}_grid{grid_size}.h5")
+            part = load_json(root / "nlvr2" / f"{split}.json")
+            for d in part:
+                d["_h5"] = split
+            data.extend(part)
+        feat = readers if len(readers) > 1 else next(iter(readers.values()))
         return cls(data, tokenizer, feat, grid_size=grid_size, **kw)
 
     def __len__(self):
@@ -184,18 +220,26 @@ class NLVR2Dataset:
         self.data = self.data[process_index::process_count]
         return self
 
+    def _reader(self, datum):
+        if isinstance(self.feat, dict):
+            return self.feat[datum["_h5"]]
+        return self.feat
+
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
-                test: bool = False):
+                test: bool = False, drop_last: bool = False):
         order = list(range(len(self.data)))
         if shuffle:
             random.Random(seed).shuffle(order)
         V = self.grid_size ** 2
-        for s in range(0, len(order), batch_size):
+        end = len(order)
+        if drop_last and end >= batch_size:
+            end -= end % batch_size  # see PretrainDataset.batches
+        for s in range(0, end, batch_size):
             data = [self.data[i] for i in order[s:s + batch_size]]
             word_ids = self.tokenizer.encode_batch(
                 [d["sent"] for d in data], self.max_text_length)
-            feats = [np.stack([self.feat.get(d["img0"]).reshape(V, -1),
-                               self.feat.get(d["img1"]).reshape(V, -1)])
+            feats = [np.stack([self._reader(d).get(d["img0"]).reshape(V, -1),
+                               self._reader(d).get(d["img1"]).reshape(V, -1)])
                      for d in data]
             batch = {
                 "question_ids": [d["uid"] for d in data],
@@ -337,14 +381,21 @@ class PretrainDataset:
         return self
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
-                with_feats: bool = False):
+                with_feats: bool = False, drop_last: bool = False):
         rng = random.Random(seed)
         order = list(range(len(self.examples)))
         if shuffle:
             rng.shuffle(order)
         n = len(self.examples)
         V = self.grid_size ** 2
-        for s in range(0, len(order), batch_size):
+        end = len(order)
+        if drop_last and end >= batch_size:
+            # training: a padded partial batch would give its last real
+            # example up-to-B-fold gradient weight (the reference's torch
+            # loader just emits a smaller batch — impossible with static
+            # TPU shapes, so the tail is dropped instead; < 1 batch/epoch)
+            end -= end % batch_size
+        for s in range(0, end, batch_size):
             data = [self.examples[i] for i in order[s:s + batch_size]]
             word_ids = self.tokenizer.encode_batch(
                 [d["sent"] for d in data], self.max_text_length)
@@ -352,11 +403,17 @@ class PretrainDataset:
             # sentence, label 0 (lxmert_data.py:346-364)
             other_sents, matched = [], []
             for d in data:
+                o = None
                 if rng.random() < 0.5 and n > 1:
-                    while True:
-                        o = self.examples[rng.randrange(n)]
-                        if o["img_id"] != d["img_id"]:
+                    # bounded: a sharded/truncated corpus can be all
+                    # captions of ONE image — the reference's unbounded
+                    # retry (lxmert_data.py:350-357) would spin forever
+                    for _ in range(20):
+                        cand = self.examples[rng.randrange(n)]
+                        if cand["img_id"] != d["img_id"]:
+                            o = cand
                             break
+                if o is not None:
                     other_sents.append(o["sent"])
                     matched.append(0)
                 else:

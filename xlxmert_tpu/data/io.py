@@ -166,11 +166,14 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         DONE = object()
+        err: list = []
 
         def worker():
             try:
                 for item in self.it_factory():
                     q.put(item)
+            except BaseException as e:  # re-raised on the consumer thread
+                err.append(e)
             finally:
                 q.put(DONE)
 
@@ -179,5 +182,10 @@ class PrefetchLoader:
         while True:
             item = q.get()
             if item is DONE:
+                # a worker error must NOT look like end-of-epoch — that
+                # would silently truncate training to however many
+                # batches preceded the failure
+                if err:
+                    raise err[0]
                 break
             yield item

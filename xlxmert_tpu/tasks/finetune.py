@@ -29,7 +29,11 @@ from xlxmert_tpu.tasks.pretrain import TrainState
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Mean binary CE with logits vs soft targets (torch BCEWithLogitsLoss
-    default reduction='mean' — vqa.py:73)."""
+    default reduction='mean' — vqa.py:73). Deliberately NO
+    `* logit.size(1)` scaling: the ORIGINAL lxmert repo multiplies by
+    the answer count, but this reference does not (vqa.py:187 ->
+    backward at :189 unscaled; gqa.py:150 likewise) — we match the
+    reference's recipe at its documented lr."""
     logits = logits.astype(jnp.float32)
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)
@@ -200,6 +204,10 @@ class FinetuneEngine:
         sqp = engine.apply_calibration(qp, calib)
         shqp = engine.apply_calibration(hqp, calib)
         engine.assert_fully_calibrated(sqp, shqp)
+        # commit the quantized trees to device ONCE — host-numpy
+        # closures would re-upload the whole weight set every batch
+        sqp = jax.device_put(sqp)
+        shqp = jax.device_put(shqp)
         step = jax.jit(lambda a, b, i, f, p, m: jnp.argmax(
             fwd(a, b, i, f, p, m), axis=-1))
 
@@ -220,6 +228,13 @@ class FinetuneEngine:
         calibrated over the first `calib_batches` batches (held back,
         then served through the calibrated step) so a single first batch
         cannot skew the scales for the whole dump."""
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "predict/evaluate is single-process: eval batches are "
+                "unsharded and predictions fetched whole, which a "
+                "multi-host global mesh cannot do (non-addressable "
+                "shards). Train multi-host, then evaluate the saved "
+                "checkpoint in a single-process run.")
         step = None if int8 else self.predict_step()
         int8_step = None
         held: list = []

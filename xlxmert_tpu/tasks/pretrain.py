@@ -108,6 +108,14 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
         # --vis_mask_COCO(VG)_only: the vis_mask task trains on a
         # substitute COCO/VG example (caption + its cluster grid),
         # provided by the loader (lxmert_data.py:466-492).
+        # NOTE the substitution swaps ONLY word ids (+ cluster ids when
+        # clustering) — any feat_labels/qa_labels still come from the
+        # ORIGINAL example, exactly as the reference behaves
+        # (lxmert_pretrain.py:597-599 substitutes those two keys and
+        # nothing else; its feat labels read batch['vis_feats'] at :178
+        # and qa_label at :185 unsubstituted). The mismatch is unreachable
+        # under the canonical recipe (clustering + visualLosses obj,
+        # task_qa off for the vis_mask substitution sources).
         if ((cfg.vis_mask_COCO_only or cfg.vis_mask_COCOVG_only)
                 and "coco_word_id" in batch):
             input_ids = batch["coco_word_id"]
@@ -228,8 +236,7 @@ class PretrainEngine:
             return state.replace(
                 step=jax.device_put(state.step, replicated(self.mesh)))
         state = TrainState.create(params, self.tx)
-        return jax.tree.map(
-            lambda x: x, replicate(state, self.mesh))
+        return replicate(state, self.mesh)
 
     # -- steps ----------------------------------------------------------------
     def _make_step(self, task: str, train: bool):
