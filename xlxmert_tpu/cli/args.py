@@ -149,7 +149,7 @@ def make_model_config(ns: argparse.Namespace, **overrides):
     from xlxmert_tpu.core.config import LxmertConfig
 
     if getattr(ns, "model_config", None):
-        cfg = LxmertConfig.load(ns.model_config)
+        cfg = LxmertConfig.from_yaml(ns.model_config)
         return cfg.replace(**overrides) if overrides else cfg
     return LxmertConfig(l_layers=ns.llayers, x_layers=ns.xlayers,
                         r_layers=ns.rlayers, **overrides)

@@ -88,7 +88,7 @@ def main(argv=None):
     n_clusters, feat_dim = centroids.shape
 
     if ns.model_config:
-        cfg = LxmertConfig.load(ns.model_config).replace(
+        cfg = LxmertConfig.from_yaml(ns.model_config).replace(
             num_clusters=n_clusters, visual_feat_dim=feat_dim)
     else:
         cfg = LxmertConfig(num_clusters=n_clusters, visual_feat_dim=feat_dim)

@@ -76,7 +76,7 @@ def main(argv=None):
     from xlxmert_tpu.serving.feature_cache import FeatureCache
     from xlxmert_tpu.utils.boxes import box_position
 
-    cfg = (LxmertConfig.load(ns.model_config) if ns.model_config
+    cfg = (LxmertConfig.from_yaml(ns.model_config) if ns.model_config
            else LxmertConfig())
     serving_mode(True)
     label2ans = load_json(ns.label2ans)
@@ -158,6 +158,9 @@ def main(argv=None):
         # calibrate on queries sampled across the WHOLE stream — a single
         # unrepresentative first batch would silently clip activations
         # for the entire run (advisor finding r2)
+        if ns.calib_samples < 1:
+            raise SystemExit("--calib_samples must be >= 1 (static int8 "
+                             "scales need at least one calibration query)")
         n_calib = min(ns.calib_samples, len(questions))
         calib_rng = np.random.RandomState(0)
         calib_idx = calib_rng.choice(len(questions), size=n_calib,

@@ -69,9 +69,11 @@ class AsyncCheckpointer:
     def save_full(self, full_tree: Any, full_path: str,
                   params_path: str) -> None:
         """One host snapshot, two files: the full train-state checkpoint
-        AND its params slice (the reference-named Epoch%02d_LXRT file) —
-        avoids double D2H + double serialization of the GB-scale
-        params when --save_full_state is on."""
+        AND its params slice (the reference-named Epoch%02d_LXRT file).
+        The D2H copy is shared; the params bytes are still serialized
+        into each file (msgpack has no shared-subtree reuse) — the win
+        is the single device fetch plus both writes off the epoch
+        loop."""
         self.wait()
         host_tree = jax.tree.map(lambda x: np.array(x, copy=True), full_tree)
 
@@ -110,6 +112,16 @@ def merge_params(target: Any, loaded: Any):
 
     def walk(t, l, prefix):
         if not isinstance(t, dict):
+            ts = getattr(t, "shape", None)
+            ls = getattr(l, "shape", None)
+            if ts is not None and ls is not None and tuple(ts) != tuple(ls):
+                # a name-matched leaf from a DIFFERENT model config must
+                # fail loudly — silently overlaying e.g. a smaller vocab
+                # embedding produces clamped gathers and wrong logits
+                raise ValueError(
+                    f"checkpoint shape mismatch at {'/'.join(prefix)}: "
+                    f"loaded {tuple(ls)} vs model {tuple(ts)} "
+                    "(different model config?)")
             return l
         out = {}
         for k, v in t.items():

@@ -28,7 +28,10 @@ class _YamlMixin:
             yaml.safe_dump(_asdict(self), f, default_flow_style=False)
 
     @classmethod
-    def load(cls, path: str):
+    def from_yaml(cls, path: str):
+        # NOT named `load`: several config classes have a `load: str`
+        # FIELD (the reference's --load flag), which would shadow a
+        # classmethod of that name and break it for exactly those classes
         with open(path) as f:
             d = yaml.safe_load(f)
         known = {f.name for f in dataclasses.fields(cls)}

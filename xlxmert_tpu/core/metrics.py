@@ -52,8 +52,13 @@ class RunLogger:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.logger = logging.getLogger(f"xlxmert.{self.dir.name}")
         self.logger.setLevel(logging.INFO)
+        for h in self.logger.handlers:  # reuse of the run-dir name
+            h.close()
         self.logger.handlers = [logging.FileHandler(self.dir / "log.txt"),
                                 logging.StreamHandler()]
+        # don't ALSO emit through root handlers (absl/pytest configure
+        # them) — every line would print twice
+        self.logger.propagate = False
         self._scalars = open(self.dir / "scalars.jsonl", "a")
         if config is not None and hasattr(config, "save"):
             config.save(str(self.dir / "args.yaml"))

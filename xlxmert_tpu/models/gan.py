@@ -468,7 +468,6 @@ class Discriminator(nn.Module):
     def __call__(self, x, y=None, centroids=None, update_sn: bool = False):
         chans = _resolution_channels(self.base_dim)
         res = self.target_size
-        blocks = []
         n_down = int(math.log2(self.target_size // self.init_H))
         h = x.astype(self.dtype)
         D_layers = []

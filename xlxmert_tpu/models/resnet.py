@@ -138,12 +138,21 @@ def grid_features(model: ResNet, variables, images: jnp.ndarray,
                   grid_size: int = 8) -> jnp.ndarray:
     """Batched 8x8x2048 grid features from the layer4 map — the TPU-native
     replacement for the detector's fc6-over-grid-boxes path
-    (coco_extract_grid_feature.py:250-254). Input images are resized so
-    layer4 is exactly (grid, grid); avg-pool handles any remainder."""
+    (coco_extract_grid_feature.py:250-254). The layer4 map is avg-pooled
+    to (grid, grid); when it is not an exact multiple, the map is
+    center-cropped to the largest multiple first (static shapes — torch
+    AdaptiveAvgPool's ragged windows have no static-shape equivalent),
+    so the output grid shape is ALWAYS (grid, grid)."""
     taps = model.apply(variables, normalize_image(images), return_layers=True)
     h = taps["layer4"]
     B, H, W, C = h.shape
     if (H, W) != (grid_size, grid_size):
+        if H < grid_size or W < grid_size:
+            raise ValueError(
+                f"layer4 map {H}x{W} is smaller than the {grid_size}x"
+                f"{grid_size} grid — use --image_size >= {32 * grid_size}")
         kh, kw = H // grid_size, W // grid_size
+        oh, ow = (H - kh * grid_size) // 2, (W - kw * grid_size) // 2
+        h = h[:, oh:oh + kh * grid_size, ow:ow + kw * grid_size]
         h = nn.avg_pool(h, (kh, kw), (kh, kw))
     return h
