@@ -91,7 +91,7 @@ def test_step2_kmeans(world):
     import pickle
 
     pkl = (world / "cluster_ids" /
-           "maskrcnn_train_grid2_img_id_to_cluster_id_10_iter3_d2048"
+           "maskrcnn_train_img_id_to_cluster_id_10_iter3_d2048"
            "_grid2.pkl")
     with open(pkl, "rb") as f:
         mapping = pickle.load(f)
@@ -104,7 +104,7 @@ def test_step3_pretrain(world):
     cpath = (world / "cluster_centroids" /
              "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
     pkl = (world / "cluster_ids" /
-           "maskrcnn_train_grid2_img_id_to_cluster_id_10_iter3_d2048"
+           "maskrcnn_train_img_id_to_cluster_id_10_iter3_d2048"
            "_grid2.pkl")
     main(["--taskMaskLM", "--taskObjPredict", "--taskMatched",
           "--visualLosses", "obj", "--vis_mask_predict", "--clustering",
@@ -142,7 +142,7 @@ def test_step3b_pretrain_bert_init(world):
     cpath = (world / "cluster_centroids" /
              "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
     pkl = (world / "cluster_ids" /
-           "maskrcnn_train_grid2_img_id_to_cluster_id_10_iter3_d2048"
+           "maskrcnn_train_img_id_to_cluster_id_10_iter3_d2048"
            "_grid2.pkl")
     base = ["--taskMaskLM", "--taskObjPredict", "--taskMatched",
             "--visualLosses", "obj", "--vis_mask_predict", "--clustering",
@@ -248,7 +248,7 @@ def test_step3e_pretrain_full_state_resume(world):
     cpath = (world / "cluster_centroids" /
              "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
     pkl = (world / "cluster_ids" /
-           "maskrcnn_train_grid2_img_id_to_cluster_id_10_iter3_d2048"
+           "maskrcnn_train_img_id_to_cluster_id_10_iter3_d2048"
            "_grid2.pkl")
     out = world / "snap_fullstate"
     base = ["--taskMaskLM", "--taskObjPredict", "--taskMatched",
@@ -421,7 +421,7 @@ def test_step7_pretrain_resume(world):
     cpath = (world / "cluster_centroids" /
              "maskrcnn_mscoco_train_centroids10_iter3_d2048_grid2.npy")
     pkl = (world / "cluster_ids" /
-           "maskrcnn_train_grid2_img_id_to_cluster_id_10_iter3_d2048"
+           "maskrcnn_train_img_id_to_cluster_id_10_iter3_d2048"
            "_grid2.pkl")
     main(["--taskMaskLM", "--taskMatched", "--clustering", "--grid_model",
           "--grid_size", str(GRID), "--num_clusters", "10",

@@ -39,3 +39,24 @@ def test_sample_fid_sensitivity():
     close = rng.randn(4000, 16) * 1.02
     far = rng.randn(4000, 16) * 2.0 + 1.0
     assert fid_from_features(real, close) < fid_from_features(real, far)
+
+
+def test_bilinear_resize_np_matches_jax():
+    """The host resizer (cli/eval_fid.bilinear_resize_np, torch-exact
+    two-tap form) must agree with jax.image.resize bilinear
+    antialias=False to well under the 8-bit pixel quantum across odd
+    native shapes (jax renormalizes separable triangle kernels, so
+    bitwise equality is not attainable — 1e-4 is ~250x under the
+    quantum)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.cli.eval_fid import bilinear_resize_np
+
+    rng = np.random.RandomState(0)
+    for shape in [(480, 640, 3), (123, 457, 3), (64, 64, 3), (301, 299, 3)]:
+        img = rng.rand(*shape).astype(np.float32)
+        ref = np.asarray(jax.image.resize(
+            jnp.asarray(img), (299, 299, 3), "bilinear", antialias=False))
+        got = bilinear_resize_np(img)
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=0)

@@ -35,23 +35,34 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _bilinear_resizer_cache():
-    """Per-native-shape jitted bilinear(antialias=False) resizers to
-    299x299 — the pytorch-fid chain is ONE such resize from the native
-    image (F.interpolate in InceptionV3.forward), not a LANCZOS
-    downsample first."""
-    import jax
+def bilinear_resize_np(img: np.ndarray, out_h: int = 299,
+                       out_w: int = 299) -> np.ndarray:
+    """Host-side bilinear resize, half-pixel centers, NO antialias —
+    the exact two-tap form of torch `F.interpolate(align_corners=False)`
+    (pytorch-fid's protocol). `jax.image.resize("bilinear",
+    antialias=False)` agrees to max |delta| < 1e-4 (it renormalizes
+    separable triangle kernels; pinned in tests/test_fid.py) — ~250x
+    below the 8-bit pixel quantum, no effect on FID. The pytorch-fid
+    chain is ONE such resize from the native image (F.interpolate
+    inside InceptionV3.forward), not a LANCZOS downsample first.
 
-    cache = {}
-
-    def resize(img_np):
-        key = img_np.shape
-        if key not in cache:
-            cache[key] = jax.jit(lambda x: jax.image.resize(
-                x, (299, 299, 3), "bilinear", antialias=False))
-        return np.asarray(cache[key](img_np))
-
-    return resize
+    Host numpy on purpose: COCO directories contain hundreds of
+    distinct native shapes, and a jitted resizer would compile (and
+    cache) one XLA program per shape."""
+    H, W, _ = img.shape
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (H / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (W / out_w) - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    wy = (ys - y0f).astype(np.float32)[:, None, None]
+    wx = (xs - x0f).astype(np.float32)[None, :, None]
+    y0 = np.clip(y0f.astype(np.int64), 0, H - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, H - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, W - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, W - 1)
+    img = np.asarray(img, np.float32)
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 def image_batches(directory, image_size, batch_size, max_images=-1,
@@ -67,13 +78,12 @@ def image_batches(directory, image_size, batch_size, max_images=-1,
                    if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
     if max_images > 0:
         paths = paths[:max_images]
-    resize_299 = _bilinear_resizer_cache() if native_to_299 else None
     batch = []
     for p in paths:
         img = Image.open(p).convert("RGB")
         if native_to_299:
             arr = np.asarray(img, np.float32) / 255.0
-            batch.append(resize_299(arr))
+            batch.append(bilinear_resize_np(arr))
         else:
             img = img.resize((image_size, image_size), Image.LANCZOS)
             batch.append(np.asarray(img, np.float32) / 255.0)

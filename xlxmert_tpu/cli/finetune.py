@@ -25,6 +25,10 @@ def run(task: str, argv=None):
     import jax
     import jax.numpy as jnp
 
+    from xlxmert_tpu.parallel.mesh import maybe_initialize_multihost
+
+    maybe_initialize_multihost()
+
     from xlxmert_tpu.core.config import apply_rng_impl
 
     apply_rng_impl(cfg)
@@ -130,7 +134,18 @@ def run(task: str, argv=None):
             state, metrics = step_fn(state, eng.place(batch), rng)
             if is_main and i % 50 == 0:
                 meter.update(float(np.asarray(metrics["loss"])))
-        score = evaluate(state.params)
+        if jax.process_count() == 1:
+            score = evaluate(state.params)
+        else:
+            # per-epoch eval needs whole-array prediction fetches, which
+            # a multi-host mesh cannot serve (tasks/finetune.predict
+            # raises); train through, keep LAST, evaluate the saved
+            # checkpoint in a single-process run afterwards
+            score = float("-inf")
+            if epoch == 0:
+                logger.info("multi-host run: skipping per-epoch eval "
+                            "(evaluate LAST.msgpack single-process); "
+                            "BEST tracking disabled")
         logger.info(f"epoch {epoch}: valid {score:.4f} loss {meter.val:.4f} "
                     f"({time.time() - t0:.0f}s)")
         logger.scalars((epoch + 1) * steps_per_epoch,

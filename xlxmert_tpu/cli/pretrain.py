@@ -45,6 +45,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from xlxmert_tpu.parallel.mesh import maybe_initialize_multihost
+
+    maybe_initialize_multihost()
+
     from xlxmert_tpu.core.config import apply_rng_impl
 
     apply_rng_impl(cfg)
@@ -291,8 +295,12 @@ def main(argv=None):
                 batch.pop("uids", None)
                 batch.pop("n_valid", None)
                 for task in cfg.mask_modalities:
-                    m = eng.eval_step(task)(state.params, eng.place(batch),
-                                            jax.random.PRNGKey(epoch), centroids)
+                    # distinct mask draw per eval batch — one shared key
+                    # would mask identical positions in every batch
+                    m = eng.eval_step(task)(
+                        state.params, eng.place(batch),
+                        jax.random.fold_in(jax.random.PRNGKey(epoch), i),
+                        centroids)
                     eval_metrics.setdefault(task, LossMeter()).update(
                         float(np.asarray(m["total_loss"])))
             if is_main:

@@ -96,9 +96,19 @@ def main(argv=None):
                     len(chunk_keys), -1)
                 for k, row in zip(chunk_keys, ids):
                     mapping[k] = row.astype(np.int64)
-        stem = Path(h5_path).stem
+        # pkl naming must match what cli/pretrain's default route expects
+        # ({encoder}_{split}_img_id_to_cluster_id_..., pretrain.py:90-93;
+        # reference naming lxmert_data.py:163-177): derive the split tag
+        # from the h5 stem by stripping the encoder prefix + grid suffix
+        # (maskrcnn_train_grid8 -> train)
+        tag = Path(h5_path).stem
+        if tag.startswith(f"{ns.encoder}_"):
+            tag = tag[len(ns.encoder) + 1:]
+        suffix = f"_grid{ns.grid_size}"
+        if tag.endswith(suffix):
+            tag = tag[: -len(suffix)]
         out = cluster_dir / (
-            f"{stem}_img_id_to_cluster_id_{ns.n_centroids}"
+            f"{ns.encoder}_{tag}_img_id_to_cluster_id_{ns.n_centroids}"
             f"_iter{ns.n_iter}_d{d}_grid{ns.grid_size}.pkl")
         with open(out, "wb") as fo:
             pickle.dump(mapping, fo)

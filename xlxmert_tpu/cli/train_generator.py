@@ -44,9 +44,15 @@ def parse_args(argv=None):
     p.add_argument("--classifier_weights", default=None,
                    help="pretrained resnet weights (.pth); perceptual loss "
                    "is disabled when omitted")
-    p.add_argument("--ACGAN", action="store_true", default=True)
-    p.add_argument("--SN", action="store_true", default=True)
-    p.add_argument("--hinge", action="store_true", default=True)
+    # accepted for train_generator.bash compatibility; the engine always
+    # trains the reference recipe (hinge + ACGAN + SN,
+    # tasks/train_generator.py) — these are not ablation switches
+    p.add_argument("--ACGAN", action="store_true",
+                   help="always on (script-compat no-op)")
+    p.add_argument("--SN", action="store_true",
+                   help="always on (script-compat no-op)")
+    p.add_argument("--hinge", action="store_true",
+                   help="always on (script-compat no-op)")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--log_step", type=int, default=100)
     p.add_argument("--fp32", action="store_true")
@@ -96,6 +102,10 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    from xlxmert_tpu.parallel.mesh import maybe_initialize_multihost
+
+    maybe_initialize_multihost()
 
     from xlxmert_tpu.core.checkpoint import save_pytree
     from xlxmert_tpu.core.config import GanConfig

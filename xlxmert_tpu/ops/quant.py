@@ -32,11 +32,14 @@ class QuantWeight(NamedTuple):
     out_scale: Optional[jnp.ndarray] = None
 
 
-def quantize_weight(w: np.ndarray, bias: Optional[np.ndarray] = None,
-                    axis: int = 0) -> QuantWeight:
-    """(K, N) fp weight -> int8 + per-column scale (symmetric)."""
+def quantize_weight(w: np.ndarray,
+                    bias: Optional[np.ndarray] = None) -> QuantWeight:
+    """(K, N) fp weight -> int8 + per-column (N,) scale (symmetric).
+    Per-column only: the dequant epilogue multiplies the (M, N) matmul
+    output by the (N,) scale row-wise — any other axis would need a
+    different epilogue shape."""
     w = np.asarray(w, np.float32)
-    scale = np.abs(w).max(axis=axis) / 127.0
+    scale = np.abs(w).max(axis=0) / 127.0
     scale = np.maximum(scale, 1e-8)
     w_i8 = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
     return QuantWeight(jnp.asarray(w_i8), jnp.asarray(scale),

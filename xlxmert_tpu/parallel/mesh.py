@@ -27,18 +27,41 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     On Cloud TPU pods, `jax.distributed.initialize()` auto-discovers the
     coordinator from the TPU metadata; explicit args cover bare-metal
-    clusters. Safe to call when single-process (no-op)."""
+    clusters. With no args, failures are swallowed (single-process
+    environment); with EXPLICIT args, a failed rendezvous raises — a
+    silent fall-back to process_count()==1 would make every host train
+    the full data independently and race on the output dir."""
     import jax
 
-    try:
-        if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and num_processes is None:
+        try:
             jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(coordinator_address, num_processes,
-                                       process_id)
-    except (RuntimeError, ValueError):
-        # already initialized or single-process environment
-        pass
+        except (RuntimeError, ValueError):
+            pass  # already initialized or single-process environment
+    else:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+
+
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_CLUSTER",
+)
+
+
+def maybe_initialize_multihost() -> None:
+    """Called by every training CLI before touching jax.devices():
+    initializes jax.distributed only when the environment looks like a
+    multi-process launch (cluster env vars, SLURM with >1 tasks), so
+    local/single-chip runs pay nothing and pod launches don't silently
+    run N duplicate single-process jobs."""
+    import os
+
+    if any(os.environ.get(v) for v in _CLUSTER_ENV_VARS):
+        initialize_multihost()
+        return
+    if int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1:
+        initialize_multihost()
 
 
 def make_mesh(shape: Tuple[int, ...] = (),
