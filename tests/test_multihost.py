@@ -123,3 +123,35 @@ def test_train_step_consumes_process_local_batch():
     state, metrics = eng.train_step("word_mask")(
         state, batch, jax.random.PRNGKey(7), centroids)
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_maybe_initialize_multihost_gating(monkeypatch):
+    """Local runs (no cluster env) must NOT touch jax.distributed;
+    cluster env vars trigger it; explicit-arg failures raise instead of
+    silently degrading to N duplicate single-process jobs."""
+    import pytest
+
+    from xlxmert_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+
+    class FakeDistributed:
+        def initialize(self, *a):
+            calls.append(a)
+            if a and a[0] == "badhost:1":
+                raise RuntimeError("unreachable coordinator")
+
+    monkeypatch.setattr(jax, "distributed", FakeDistributed())
+    for v in mesh_mod._CLUSTER_ENV_VARS:
+        monkeypatch.delenv(v, raising=False)
+    monkeypatch.delenv("SLURM_NTASKS", raising=False)
+
+    mesh_mod.maybe_initialize_multihost()
+    assert calls == []  # local: untouched
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "h:1234")
+    mesh_mod.maybe_initialize_multihost()
+    assert calls == [()]  # auto-discovery path
+
+    with pytest.raises(RuntimeError, match="unreachable"):
+        mesh_mod.initialize_multihost("badhost:1", 4, 0)
