@@ -115,9 +115,13 @@ def test_step3_pretrain(world):
           "--centroid_path", str(cpath), "--cluster_pkl", str(pkl),
           "--model_config", str(world / "model.yaml"),
           "--output", str(world / "snap_pretrain"), "--fp32",
-          "--seed", "1"])
+          "--seed", "1", "--profile", "1"])
     assert (world / "snap_pretrain" / "Epoch01_LXRT.msgpack").exists()
     assert (world / "snap_pretrain" / "log.txt").exists()
+    # --profile wrote a jax.profiler trace (epoch may be shorter than
+    # warmup+window; the stop-at-epoch-end path still flushes it)
+    prof = world / "snap_pretrain" / "profile"
+    assert prof.exists() and any(prof.rglob("*"))
     scalars = [json.loads(l) for l in
                open(world / "snap_pretrain" / "scalars.jsonl")]
     assert any("valid/vis_mask" in s for s in scalars)

@@ -113,6 +113,11 @@ def base_parser() -> argparse.ArgumentParser:
                    choices=["rbg", "threefry2x32", "unsafe_rbg"],
                    help="jax PRNG for dropout/masking streams "
                    "(default rbg: 8-10%% faster train steps on TPU)")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of N training "
+                   "steps (after 5 warmup steps of the first epoch) "
+                   "into <output>/profile — view in TensorBoard/"
+                   "Perfetto (SURVEY §5: the reference has no tracing)")
     p.add_argument("--numWorkers", dest="num_workers", type=int, default=4)
     p.add_argument("--tqdm", action="store_true")
     # host paths (new, replaces hardcoded ../datasets routing)

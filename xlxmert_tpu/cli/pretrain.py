@@ -267,6 +267,11 @@ def main(argv=None):
     global_step = start_epoch * steps_per_epoch
     ckpt = AsyncCheckpointer()  # epoch saves overlap the next epoch
 
+    profile_n = getattr(ns, "profile", 0)
+    # after compile + warmup, clamped so short epochs still trace
+    profile_start = (min(5, max(steps_per_epoch - profile_n, 0))
+                     if not cfg.dry else -1)
+    profiling = False
     try:
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
@@ -276,6 +281,16 @@ def main(argv=None):
                                          drop_last=True))
             if not cfg.dry:
                 for i, batch in enumerate(loader):
+                    if profile_n and epoch == start_epoch and is_main:
+                        if i == profile_start:
+                            jax.profiler.start_trace(
+                                str(Path(cfg.output) / "profile"))
+                            profiling = True
+                        elif profiling and i == profile_start + profile_n:
+                            jax.profiler.stop_trace()
+                            profiling = False
+                            logger.info(f"profiler trace of {profile_n} "
+                                        f"steps -> {cfg.output}/profile")
                     batch.pop("uids", None)
                     batch.pop("n_valid", None)
                     task = eng.task_for_step(global_step)
@@ -288,6 +303,9 @@ def main(argv=None):
                             f"{task}/loss": loss,
                             "grad_norm": float(np.asarray(metrics["grad_norm"]))})
                     global_step += 1
+                if profiling:  # epoch shorter than the trace window
+                    jax.profiler.stop_trace()
+                    profiling = False
 
             # eval epoch (lxmert_pretrain.py:553-673)
             eval_metrics = {}
@@ -321,6 +339,8 @@ def main(argv=None):
                     ckpt.save(state.params,
                               str(Path(cfg.output) / epoch_ckpt_name(epoch + 1)))
     finally:
+        if profiling:  # epoch shorter than the requested trace window
+            jax.profiler.stop_trace()
         # queued async save survives exceptions/KeyboardInterrupt —
         # without this the daemon writer dies mid-write and the
         # epoch's checkpoint is silently lost
