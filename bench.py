@@ -395,36 +395,71 @@ def measure_pretrain(cfg):
     return B / (best / K)
 
 
+def _err_str(e):
+    return f"{type(e).__name__}: {e}"[:500]
+
+
 def main():
-    from xlxmert_tpu.core.config import LxmertConfig
+    """Never dies without the ONE JSON line: every stage (and even
+    package import / backend init) is fenced so the driver records WHY
+    instead of an rc=1 with no parse (the BENCH_r03 failure mode —
+    'Unable to initialize backend axon' killed the whole run)."""
+    extra = {}
+    errors = {}
+    qps = 0.0
 
-    cfg = LxmertConfig()
-    qps, qps_bf16, path = measure_vqa(cfg)
-    samples_per_sec, sps_bf16, s_path, sps_fast = measure_sampling(cfg)
-    train_ex_s = measure_pretrain(cfg)
+    try:
+        from xlxmert_tpu.core.config import LxmertConfig
 
-    fps = flops_per_sample(cfg)
-    tflops = qps * fps / 1e12
-    print(json.dumps({
-        "metric": "vqa_queries_per_sec_per_chip",
-        "value": round(qps, 1),
-        "unit": "queries/sec",
-        "vs_baseline": round(qps / A100_BASELINE_QPS, 3),
-        "extra": {
+        cfg = LxmertConfig()
+    except Exception as e:  # import/backend catastrophes
+        print(json.dumps({
+            "metric": "vqa_queries_per_sec_per_chip", "value": 0.0,
+            "unit": "queries/sec", "vs_baseline": 0.0,
+            "extra": {"errors": {"import": _err_str(e)}},
+        }))
+        return
+
+    try:
+        qps, qps_bf16, path = measure_vqa(cfg)
+        fps = flops_per_sample(cfg)
+        extra.update({
             "serving_path": path,
             "bf16_queries_per_sec": round(qps_bf16, 1),
-            "model_tflops": round(tflops, 1),
+            "model_tflops": round(qps * fps / 1e12, 1),
             "mfu_vs_int8_peak": round(qps * fps / V5E_INT8_PEAK_TOPS, 3),
             "efficiency_vs_measured_roofline": round(
                 qps * fps / MEASURED_INT8_TOPS, 3),
+        })
+    except Exception as e:
+        errors["vqa"] = _err_str(e)
+
+    try:
+        samples_per_sec, sps_bf16, s_path, sps_fast = measure_sampling(cfg)
+        extra.update({
             "sampling_samples_per_sec": round(samples_per_sec, 1),
             "sampling_path": s_path,
             "sampling_bf16_samples_per_sec": round(sps_bf16, 1),
             "sampling_fast_render_samples_per_sec": round(sps_fast, 1),
             "sampling_vs_baseline": round(
                 samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3),
-            "pretrain_examples_per_sec": round(train_ex_s, 1),
-        },
+        })
+    except Exception as e:
+        errors["sampling"] = _err_str(e)
+
+    try:
+        extra["pretrain_examples_per_sec"] = round(measure_pretrain(cfg), 1)
+    except Exception as e:
+        errors["pretrain"] = _err_str(e)
+
+    if errors:
+        extra["errors"] = errors
+    print(json.dumps({
+        "metric": "vqa_queries_per_sec_per_chip",
+        "value": round(qps, 1),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / A100_BASELINE_QPS, 3),
+        "extra": extra,
     }))
 
 

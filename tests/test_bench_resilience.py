@@ -1,0 +1,57 @@
+"""bench.py must print its ONE JSON line even when the TPU backend is
+unreachable (BENCH_r03 failure mode: rc=1, parsed=null, no record of
+why). These tests force stage failures and assert the driver still gets
+a parseable record with the error attributed."""
+import contextlib
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _run_main():
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    lines = [ln for ln in buf.getvalue().strip().splitlines() if ln]
+    assert len(lines) == 1, f"expected exactly one JSON line, got {lines!r}"
+    return json.loads(lines[0])
+
+
+def test_bench_emits_json_when_every_stage_dies(monkeypatch):
+    def boom(cfg, *a, **k):
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: "
+            "TPU backend setup/compile error")
+
+    monkeypatch.setattr(bench, "measure_vqa", boom)
+    monkeypatch.setattr(bench, "measure_sampling", boom)
+    monkeypatch.setattr(bench, "measure_pretrain", boom)
+    rec = _run_main()
+    assert rec["metric"] == "vqa_queries_per_sec_per_chip"
+    assert rec["value"] == 0.0
+    assert rec["vs_baseline"] == 0.0
+    errs = rec["extra"]["errors"]
+    assert set(errs) == {"vqa", "sampling", "pretrain"}
+    assert "Unable to initialize backend" in errs["vqa"]
+
+
+def test_bench_partial_results_survive_one_stage_failure(monkeypatch):
+    monkeypatch.setattr(bench, "measure_vqa",
+                        lambda cfg: (8000.0, 7000.0, "int8_static"))
+    monkeypatch.setattr(bench, "measure_sampling",
+                        lambda cfg: (900.0, 800.0, "int8_static", 1000.0))
+
+    def boom(cfg):
+        raise RuntimeError("mid-run tunnel drop")
+
+    monkeypatch.setattr(bench, "measure_pretrain", boom)
+    rec = _run_main()
+    assert rec["value"] == 8000.0
+    assert rec["extra"]["sampling_samples_per_sec"] == 900.0
+    assert list(rec["extra"]["errors"]) == ["pretrain"]
+    assert "pretrain_examples_per_sec" not in rec["extra"]
