@@ -32,6 +32,17 @@ def main(argv=None):
             "--visualLosses attr: no pretraining data path provides "
             "attr labels (true of the reference as well); drop 'attr' "
             "or drive PretrainEngine directly with attr_label batches")
+    if ("feat" in cfg.visual_loss_keys and cfg.clustering
+            and not (cfg.feed_exact_feat or cfg.target_exact_feat)):
+        # without an exact-feature source the engine computes no feat
+        # loss (_task_heads skips it) — fail loudly instead of silently
+        # dropping a requested loss (the reference would KeyError on
+        # batch['vis_feats'] here, lxmert_pretrain.py:178)
+        raise SystemExit(
+            "--visualLosses feat in clustering mode needs an exact-"
+            "feature source: add --feed_exact_feat and/or "
+            "--target_exact_feat (otherwise no vis_feats are loaded "
+            "and the feat loss would silently vanish)")
     if not cfg.clustering and not (cfg.feed_exact_feat
                                    or cfg.target_exact_feat):
         # the reference only loads bbox-h5 features under these flags

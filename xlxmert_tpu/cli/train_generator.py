@@ -164,12 +164,19 @@ def main(argv=None):
     if ns.resume:
         import re
 
-        from xlxmert_tpu.core.checkpoint import restore_state
+        from xlxmert_tpu.core.checkpoint import load_pytree, restore_state
 
-        state, _ = restore_state(state, ns.resume)
+        tree = load_pytree(ns.resume)
+        saved_epoch = tree.pop("epoch", None)
+        state, _ = restore_state(state, tree)
         step = int(np.asarray(state.step))
-        m = re.search(r"G_(\d+)_FULL", Path(ns.resume).name)
-        start_epoch = int(m.group(1)) + 1 if m else 0
+        if saved_epoch is not None:
+            # authoritative: stored inside the tree at save time, so a
+            # renamed/copied checkpoint resumes at the right epoch
+            start_epoch = int(np.asarray(saved_epoch)) + 1
+        else:
+            m = re.search(r"G_(\d+)_FULL", Path(ns.resume).name)
+            start_epoch = int(m.group(1)) + 1 if m else 0
         logger.info(f"exact-resumed GAN state from {ns.resume} at "
                     f"epoch {start_epoch}, step {step}")
     for epoch in range(start_epoch, cfg.epochs):
@@ -201,7 +208,12 @@ def main(argv=None):
             if ns.save_full_state:
                 from flax import serialization
 
-                save_pytree(serialization.to_state_dict(state),
+                full = serialization.to_state_dict(state)
+                # epoch lives INSIDE the tree: a renamed/copied
+                # checkpoint must still resume at the right epoch (the
+                # filename regex is only the legacy fallback)
+                full["epoch"] = np.asarray(epoch, np.int32)
+                save_pytree(full,
                             str(Path(cfg.output)
                                 / f"G_{epoch}_FULL.msgpack"))
     logger.close()

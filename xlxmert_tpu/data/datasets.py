@@ -395,6 +395,17 @@ class PretrainDataset:
             # loader just emits a smaller batch — impossible with static
             # TPU shapes, so the tail is dropped instead; < 1 batch/epoch)
             end -= end % batch_size
+        elif drop_last and 0 < end < batch_size:
+            # dataset smaller than one batch: dropping would emit zero
+            # batches, so a padded batch goes out anyway — with the
+            # duplicated-example gradient bias drop_last exists to avoid
+            import logging
+
+            logging.getLogger("xlxmert").warning(
+                "drop_last=True but the (sharded) dataset has only %d "
+                "examples < batch_size=%d: emitting one padded batch "
+                "(last example duplicated with full gradient weight)",
+                end, batch_size)
         for s in range(0, end, batch_size):
             data = [self.examples[i] for i in order[s:s + batch_size]]
             word_ids = self.tokenizer.encode_batch(

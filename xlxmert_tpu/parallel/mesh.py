@@ -46,17 +46,24 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 _CLUSTER_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_CLUSTER",
+    # standard single-slice Cloud TPU pod launches set these (and none
+    # of the above): the libtpu-injected worker topology
+    "TPU_WORKER_HOSTNAMES", "TPU_PROCESS_ADDRESSES",
 )
 
 
 def maybe_initialize_multihost() -> None:
     """Called by every training CLI before touching jax.devices():
     initializes jax.distributed only when the environment looks like a
-    multi-process launch (cluster env vars, SLURM with >1 tasks), so
-    local/single-chip runs pay nothing and pod launches don't silently
-    run N duplicate single-process jobs."""
+    multi-process launch (cluster / TPU-pod env vars, SLURM with >1
+    tasks, or XLXMERT_MULTIHOST=1 to force), so local/single-chip runs
+    pay nothing and pod launches don't silently run N duplicate
+    single-process jobs."""
     import os
 
+    if os.environ.get("XLXMERT_MULTIHOST"):
+        initialize_multihost()
+        return
     if any(os.environ.get(v) for v in _CLUSTER_ENV_VARS):
         initialize_multihost()
         return

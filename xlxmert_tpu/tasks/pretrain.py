@@ -54,6 +54,62 @@ class TrainState(struct.PyTreeNode):
                    opt_state=tx.init(params), tx=tx)
 
 
+def used_param_mask(params, task: str, cfg: TrainConfig):
+    """Static per-task param-usage mask: which params torch autograd
+    reaches for this task's total_loss (lxmert_pretrain.py:334-366 —
+    loss.backward() then AdamW skips grad-None params). Fed to
+    core/optim.reference_adamw so heads outside the task's subgraph get
+    no momentum/weight-decay/step-count advance, exactly like the
+    reference's round-robin. Leaves are python bools (computed from the
+    path only), so each per-task jitted step prunes unused subtrees."""
+    heads = _task_heads(task, cfg)
+    # which output streams this task's loss consumes
+    lang_used = ("lm" in heads or "matched" in heads
+                 or task == "matched" or cfg.task_qa)
+    visn_used = any(k in heads for k in ("obj", "feat", "attr"))
+    try:
+        x_names = [k for k in params["bert"]["encoder"]
+                   if str(k).startswith("x_layers_")]
+        _last_x_name = (max(x_names, key=lambda k: int(str(k).split("_")[-1]))
+                        if x_names else None)
+    except (KeyError, TypeError):
+        _last_x_name = None
+
+    def mark(path, _):
+        names = [getattr(p, "key", str(p)) for p in path]
+        top = names[0]
+        if top == "bert":
+            if "pooler" in names:
+                # pooled output feeds only the matched + QA heads
+                return task == "matched" or cfg.task_qa
+            # the LAST x-layer's post-cross-attention tails feed only
+            # their own stream (the shared cross-att reads the layer
+            # INPUTS): a loss on the other stream leaves them grad-None
+            # in torch (HF LxmertXLayer dataflow; verified against
+            # autograd in tests/test_trainer_trajectory_parity.py)
+            if _last_x_name and _last_x_name in names:
+                if any(n in ("lang_self_att", "lang_inter", "lang_output")
+                       for n in names):
+                    return lang_used
+                if any(n in ("visn_self_att", "visn_inter", "visn_output")
+                       for n in names):
+                    return visn_used
+            return True
+        if top == "cls":
+            if "predictions" in names:
+                return "lm" in heads
+            return "matched" in heads  # seq_relationship
+        if top == "obj_predict_head":
+            return any(k in heads for k in ("obj", "feat", "attr"))
+        if top == "mask_feat":
+            return task == "vis_mask"
+        if top == "answer_head":
+            return "qa" in heads
+        return True
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
 def _task_heads(task: str, cfg: TrainConfig) -> Tuple[str, ...]:
     heads = []
     if task == "word_mask":
@@ -95,10 +151,18 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
     cluster_id = batch.get("cluster_id")
 
     if task == "word_mask":
-        input_ids, word_labels = random_word_mask(
-            rng, batch["word_id"], cfg.word_mask_rate,
-            vocab_size=vocab_size, mask_token_id=mask_token_id)
-        labels["word_labels"] = word_labels
+        if "masked_word_id" in batch:
+            # host-masked mode: the loader supplies the masked ids +
+            # labels exactly as the reference dataset does
+            # (lxmert_data.py random_word / masked_word_id, word_label);
+            # also what the trajectory-parity test feeds both frameworks
+            input_ids = batch["masked_word_id"]
+            labels["word_labels"] = batch["word_label"]
+        else:
+            input_ids, word_labels = random_word_mask(
+                rng, batch["word_id"], cfg.word_mask_rate,
+                vocab_size=vocab_size, mask_token_id=mask_token_id)
+            labels["word_labels"] = word_labels
         vis_mask = None
     elif task == "matched":
         input_ids = batch["other_word_id"]
@@ -126,7 +190,11 @@ def build_inputs_and_labels(batch: Dict[str, jnp.ndarray], rng, task: str,
                 cluster_id = batch["coco_cluster_id"]
         else:
             input_ids = batch["word_id"]
-        if cfg.square_mask:
+        if "vis_mask" in batch:
+            # host-masked mode (see word_mask above): precomputed mask,
+            # reference lxmert_pretrain.py:155 consumes batch['vis_mask']
+            vis_mask = batch["vis_mask"].astype(jnp.float32)
+        elif cfg.square_mask:
             vis_mask = square_vis_mask(rng, input_ids.shape[0], cfg.grid_size)
         elif cfg.vis_mask_predict:
             vis_mask = uniform_count_vis_mask(rng, input_ids.shape[0], n_cells)
@@ -187,9 +255,12 @@ class PretrainEngine:
         self.compute_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
         self.model = XLxmert(self.model_cfg, dtype=self.compute_dtype,
                              task_qa=cfg.task_qa)
-        self.tx = make_optimizer(
-            cfg.lr, total_steps, cfg.warmup_ratio, cfg.weight_decay,
-            cfg.clip_grad_norm, cfg.adam_eps, cfg.update_freq)
+        self._opt_kwargs = dict(
+            lr=cfg.lr, total_steps=total_steps,
+            warmup_ratio=cfg.warmup_ratio, weight_decay=cfg.weight_decay,
+            clip_grad_norm=cfg.clip_grad_norm, adam_eps=cfg.adam_eps,
+            update_freq=cfg.update_freq)
+        self.tx = make_optimizer(**self._opt_kwargs)
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.mesh_shape, cfg.mesh_axis_names)
         self.box_pos = jnp.asarray(box_position(cfg.grid_size))
@@ -282,12 +353,26 @@ class PretrainEngine:
         self._loss_fns[task] = loss_fn
 
         if train:
+            opt_kwargs = self._opt_kwargs
+
             def step(state: TrainState, batch, rng, centroids):
                 rng = jax.random.fold_in(rng, state.step)
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params, batch, rng,
                                            centroids, False)
-                new_state = state.apply_gradients(grads)
+                # per-task optimizer: same state structure as state.tx,
+                # but leaves outside this task's loss subgraph are
+                # skipped entirely (torch grad-None semantics — see
+                # used_param_mask / core/optim.reference_adamw)
+                tx_task = make_optimizer(
+                    used_mask=used_param_mask(state.params, task, cfg),
+                    **opt_kwargs)
+                updates, new_opt = tx_task.update(
+                    grads, state.opt_state, state.params)
+                new_state = state.replace(
+                    step=state.step + 1,
+                    params=optax.apply_updates(state.params, updates),
+                    opt_state=new_opt)
                 metrics["grad_norm"] = optax.global_norm(grads)
                 return new_state, metrics
 
