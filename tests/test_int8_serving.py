@@ -175,6 +175,85 @@ def test_static_calibrated_mode_matches_flax():
     assert cos(got2, ref2) > 0.98
 
 
+def test_int8_attention_einsums_match_bf16_attention():
+    """Lever (b), VERDICT r3 #3: int8 score/context attention einsums
+    with calibrated static q/k/v scales. Same calibration pass as the
+    dense sites; accuracy vs the bf16-attention int8 path and vs fp32
+    must hold, and enabling without calibration must fail loudly."""
+    import pytest
+
+    from xlxmert_tpu.serving import lxmert_int8 as engine
+
+    model = LxmertModel(CFG, dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    B, L, V = 16, 12, 16
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        ids = jnp.asarray(r.randint(1, 200, (B, L)).astype(np.int32))
+        mask = np.ones((B, L), np.float32)
+        mask[1, 9:] = 0
+        return (ids, jnp.asarray(r.randn(B, V, 32).astype(np.float32) * .5),
+                jnp.asarray(np.broadcast_to(box_position(4)[None],
+                                            (B, V, 4)).copy()),
+                jnp.asarray(mask))
+
+    ids, feats, pos, mask = batch(10)
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos,
+                        attention_mask=mask)["params"]
+    head = VisualAnswerHead(CFG, num_labels=29, dtype=jnp.float32)
+    hp = head.init(jax.random.PRNGKey(1), jnp.zeros((B, CFG.hidden_size))
+                   )["params"]
+    qp = prepare_params(params, CFG)
+    hqp = prepare_answer_head(hp)
+    calib = engine.calibrate(qp, hqp, [batch(s) for s in (10, 20)], CFG)
+    sqp = engine.apply_calibration(qp, calib)
+    shqp = engine.apply_calibration(hqp, calib)
+
+    # every attention site got its q/k/v scales from the same pass
+    def act_scales(tree):
+        from xlxmert_tpu.ops.quant import ActScale
+
+        found = []
+
+        def walk(n):
+            if isinstance(n, ActScale):
+                found.append(n)
+            elif isinstance(n, dict):
+                [walk(v) for v in n.values()]
+            elif isinstance(n, (list, tuple)) and not isinstance(n, ActScale):
+                [walk(v) for v in n]
+
+        walk(tree)
+        return found
+
+    scs = act_scales(sqp)
+    n_att = CFG.l_layers + CFG.r_layers + 3 * CFG.x_layers  # self+cross
+    assert len(scs) == 3 * n_att
+    assert all(s.calibrated for s in scs), "attention scales uncalibrated"
+
+    fn = make_vqa_serving_fn(CFG)
+    base = np.asarray(fn(sqp, shqp, ids, feats, pos, mask))
+
+    engine.int8_attention(True)
+    try:
+        fn8 = make_vqa_serving_fn(CFG)  # fresh jit: toggle is trace-time
+        got = np.asarray(fn8(sqp, shqp, ids, feats, pos, mask))
+        # uncalibrated tree -> loud failure, not silent bf16 fallback
+        with pytest.raises(RuntimeError, match="calibrated"):
+            make_vqa_serving_fn(CFG)(qp, shqp, ids, feats, pos, mask)
+    finally:
+        engine.int8_attention(False)
+
+    _, _, pooled = model.apply({"params": params}, ids, feats, pos,
+                               attention_mask=mask, deterministic=True)
+    ref = np.asarray(head.apply({"params": hp}, pooled))
+    assert cos(got, base) > 0.99, cos(got, base)
+    assert cos(got, ref) > 0.97, cos(got, ref)
+    agree = (np.argmax(got, -1) == np.argmax(base, -1)).mean()
+    assert agree >= 0.8, agree
+
+
 def test_int8_serving_under_data_parallel_mesh():
     """Production multi-chip serving: the int8 forward jitted over a
     data mesh (batch sharded, quantized params replicated) must equal

@@ -26,8 +26,18 @@ NUM_FEATURES = 36  # coco_extract_bbox_feature.py:42
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--images_dir", required=True)
-    p.add_argument("--out", required=True, help="output .h5 path")
+    p.add_argument("--images_dir", default=None,
+                   help="bare image dir (alternative to --corpus/--root)")
+    p.add_argument("--out", default=None, help="output .h5 path "
+                   "(derived from the corpus layout when --corpus)")
+    p.add_argument("--corpus", default=None,
+                   choices=["coco", "vg", "gqa", "nlvr2"],
+                   help="reference per-dataset conventions "
+                   "(feature_extraction/<corpus>_extract_bbox_feature.py; "
+                   "data/corpora.py)")
+    p.add_argument("--root", default=None, help="corpus root")
+    p.add_argument("--split", default=None,
+                   help="{train,valid,test} (COCO/NLVR2 only)")
     p.add_argument("--weights", default=None,
                    help="detectron_model.pth / .msgpack (random init if "
                    "omitted — pipeline testing only)")
@@ -65,9 +75,13 @@ def main(argv=None):
         cfg, n_classes=ns.n_classes, pre_nms_top_n=ns.proposals,
         post_nms_top_n=ns.proposals, fpn_post_nms_top_n=ns.proposals)
 
-    paths = sorted(p for p in Path(ns.images_dir).iterdir()
-                   if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
-    print(f"{len(paths)} images")
+    from xlxmert_tpu.cli.extract_features import resolve_inputs
+
+    ns.arch = "maskrcnn"  # the reference's fixed bbox backbone tag
+    ns.image_size = 0
+    paths, out = resolve_inputs(ns, kind="bbox", n_boxes=ns.num_features)
+    ns.out = out
+    print(f"{len(paths)} images -> {out}")
 
     def scaled_shape(h, w):
         # bbox path: exact min/max scaling, NO /32 snap; the canvas is

@@ -21,8 +21,20 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--images_dir", required=True)
-    p.add_argument("--out", required=True, help="output .h5 path")
+    p.add_argument("--images_dir", default=None,
+                   help="bare directory of images (alternative to "
+                   "--corpus/--root)")
+    p.add_argument("--out", default=None, help="output .h5 path "
+                   "(derived from the corpus layout when --corpus)")
+    p.add_argument("--corpus", default=None,
+                   choices=["coco", "vg", "gqa", "nlvr2"],
+                   help="use the reference's per-dataset file/id/output "
+                   "conventions (feature_extraction/<corpus>_extract_*; "
+                   "see data/corpora.py)")
+    p.add_argument("--root", default=None,
+                   help="corpus root (e.g. datasets/COCO) when --corpus")
+    p.add_argument("--split", default=None,
+                   help="corpus split {train,valid,test} (COCO/NLVR2 only)")
     p.add_argument("--weights", default=None,
                    help="resnet .pth/.msgpack (random init if omitted — "
                    "for pipeline testing only)")
@@ -38,6 +50,33 @@ def parse_args(argv=None):
     p.add_argument("--tiny_detectron", action="store_true",
                    help="tiny random maskrcnn config (pipeline tests)")
     return p.parse_args(argv)
+
+
+def resolve_inputs(ns, kind: str = "grid", n_boxes: int = 36):
+    """(paths, out_path) from either --images_dir/--out or the corpus
+    manifest (--corpus/--root/--split)."""
+    from pathlib import Path as _P
+
+    from xlxmert_tpu.data.corpora import (
+        corpus_image_paths, extractor_output_path)
+
+    if ns.corpus:
+        if not ns.root:
+            raise SystemExit("--corpus requires --root")
+        paths = corpus_image_paths(ns.corpus, _P(ns.root), ns.split)
+        imsize = (ns.image_size
+                  if (getattr(ns, "arch", "maskrcnn") == "maskrcnn"
+                      and getattr(ns, "image_size", 0)) else None)
+        out = ns.out or str(extractor_output_path(
+            ns.corpus, _P(ns.root), ns.split,
+            getattr(ns, "arch", "maskrcnn"), kind,
+            getattr(ns, "grid_size", 8), imsize, n_boxes))
+        return paths, out
+    if not ns.images_dir or not ns.out:
+        raise SystemExit("need --images_dir and --out (or --corpus/--root)")
+    paths = sorted(p for p in _P(ns.images_dir).iterdir()
+                   if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
+    return paths, ns.out
 
 
 def run_maskrcnn(ns):
@@ -59,9 +98,9 @@ def run_maskrcnn(ns):
     model = DetectronGridExtractor(cfg, grid_size=ns.grid_size)
     imsize = ns.image_size or None
 
-    paths = sorted(p for p in Path(ns.images_dir).iterdir()
-                   if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
-    print(f"{len(paths)} images")
+    paths, out = resolve_inputs(ns, kind="grid")
+    ns.out = out
+    print(f"{len(paths)} images -> {out}")
 
     # fixed canvas: one compiled program for the whole run. The FPN
     # top-down pathway needs /32-divisible inputs (stride alignment —
@@ -190,9 +229,9 @@ def main(argv=None):
     def extract(variables, images):
         return grid_features(model, variables, images, ns.grid_size)
 
-    paths = sorted(p for p in Path(ns.images_dir).iterdir()
-                   if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
-    print(f"{len(paths)} images")
+    paths, out = resolve_inputs(ns, kind="grid")
+    ns.out = out
+    print(f"{len(paths)} images -> {out}")
     Path(ns.out).parent.mkdir(parents=True, exist_ok=True)
     t0, n = time.time(), 0
     with h5py.File(ns.out, "w") as f:

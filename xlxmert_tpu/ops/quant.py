@@ -99,3 +99,34 @@ def int8_dense_static(x: jnp.ndarray, qw: QuantWeight,
     if qw.bias is not None:
         out = out + qw.bias
     return out.astype(out_dtype)
+
+
+class ActScale(NamedTuple):
+    """Calibrated static scale for a weightless int8 site (the attention
+    score/context einsums). `key` is a tiny placeholder array whose
+    identity keys the calibration dict, exactly like QuantWeight.w_i8
+    keys the dense sites; `inv` (127/amax) and `scale` (amax/127) are
+    attached by serving.lxmert_int8.apply_calibration."""
+    key: jnp.ndarray
+    inv: Optional[jnp.ndarray] = None
+    scale: Optional[jnp.ndarray] = None
+
+    @property
+    def calibrated(self) -> bool:
+        return self.inv is not None
+
+
+def make_act_scale() -> ActScale:
+    return ActScale(key=jnp.zeros((), jnp.float32))
+
+
+def with_act_scale(s: ActScale, a_max: float) -> ActScale:
+    a = max(float(a_max), 1e-8) / 127.0
+    return s._replace(inv=jnp.float32(1.0 / a), scale=jnp.float32(a))
+
+
+def quantize_static(x: jnp.ndarray, s: ActScale) -> jnp.ndarray:
+    """bf16/fp32 -> int8 with a calibrated per-tensor scale (one fused
+    multiply+round+clip, no reduction)."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * s.inv),
+                    -127, 127).astype(jnp.int8)

@@ -55,10 +55,24 @@ import numpy as np
 
 from xlxmert_tpu.core.config import LxmertConfig
 from xlxmert_tpu.ops.quant import (
-    QuantWeight, int8_matmul, quantize_rows, quantize_weight,
+    ActScale, QuantWeight, int8_matmul, make_act_scale, quantize_rows,
+    quantize_static, quantize_weight, with_act_scale,
 )
 
 NEG_INF = -1e9
+
+# int8 attention score/context einsums (VERDICT r3 lever b): when
+# enabled AND the q/k/v ActScales are calibrated, the two attention
+# einsums run int8 x int8 -> int32 on the MXU with static dequant
+# scales (softmax stays fp32; its [0,1] output quantizes with the fixed
+# scale 1/127). Toggle with int8_attention(True) BEFORE tracing; the
+# scales are recorded by the same calibrate() pass as the dense sites.
+_INT8_ATTENTION = False
+
+
+def int8_attention(enable: bool) -> None:
+    global _INT8_ATTENTION
+    _INT8_ATTENTION = bool(enable)
 
 
 # ---------------------------------------------------------------------------
@@ -85,12 +99,20 @@ def _ln(p: Dict, name: str):
             "bias": jnp.asarray(_np(p[name]["bias"]))}
 
 
+def _att_scales() -> Dict:
+    """Per-site q/k/v calibration slots for the int8 attention einsums
+    (softmax probs need none: their amax is 1.0 by construction)."""
+    return {"q": make_act_scale(), "k": make_act_scale(),
+            "v": make_act_scale()}
+
+
 def _self_att(p: Dict) -> Dict:
     """SelfAttentionLayer params {self: {query,key,value}, output}."""
     return {
         "qkv": _qw_concat(p["self"], ("query", "key", "value")),
         "out": _qw(p["output"], "dense"),
         "ln": _ln(p["output"], "LayerNorm"),
+        "act": _att_scales(),
     }
 
 
@@ -101,6 +123,7 @@ def _cross_att(p: Dict) -> Dict:
         "kv": _qw_concat(p["att"], ("key", "value")),
         "out": _qw(p["output"], "dense"),
         "ln": _ln(p["output"], "LayerNorm"),
+        "act": _att_scales(),
     }
 
 
@@ -216,10 +239,59 @@ def _attention_core(q, k, v, bias, n_heads):
 USE_FUSED_KERNEL = False
 
 
+def _attention_core_int8(q, k, v, bias, n_heads, act):
+    """Attention with int8 score/context einsums (static calibrated
+    scales). int8 x int8 -> int32 on the MXU for both contractions;
+    softmax in fp32; probs quantize with the fixed scale 1/127 (their
+    amax is 1.0 by construction)."""
+    B, Lq, Hd = q.shape
+    Lk = k.shape[1]
+    D = Hd // n_heads
+    q8 = quantize_static(q, act["q"]).reshape(B, Lq, n_heads, D)
+    k8 = quantize_static(k, act["k"]).reshape(B, Lk, n_heads, D)
+    v8 = quantize_static(v, act["v"]).reshape(B, Lk, n_heads, D)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q8, k8,
+                   preferred_element_type=jnp.int32)
+    s = s.astype(jnp.float32) * (
+        act["q"].scale * act["k"].scale / np.sqrt(D))
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    p8 = jnp.round(p * 127.0).astype(jnp.int8)  # p in [0,1]: amax 1.0
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", p8, v8,
+                     preferred_element_type=jnp.int32)
+    ctx = ctx.astype(jnp.float32) * (act["v"].scale / 127.0)
+    return ctx.reshape(B, Lq, Hd).astype(jnp.bfloat16)
+
+
+def _observe_act(x, s: ActScale):
+    """Calibration hooks for weightless int8 sites — same two-pass
+    collector protocol as int8_dense_shared."""
+    if _CALIB_ORDER is not None:
+        _CALIB_ORDER.append(id(s.key))
+    if _CALIB_LIST is not None:
+        _CALIB_LIST.append(jnp.abs(x.astype(jnp.float32)).max())
+
+
+def _core(q, k, v, bias, n_heads, p):
+    act = p.get("act")
+    if act is not None:
+        _observe_act(q, act["q"])
+        _observe_act(k, act["k"])
+        _observe_act(v, act["v"])
+    if _INT8_ATTENTION:
+        if act is None or not act["q"].calibrated:
+            raise RuntimeError(
+                "int8_attention(True) needs calibrated q/k/v scales — "
+                "run calibrate() + apply_calibration on this tree first")
+        return _attention_core_int8(q, k, v, bias, n_heads, act)
+    return _attention_core(q, k, v, bias, n_heads)
+
+
 def _self_attention(x, p, bias, n_heads):
     qkv = int8_dense_shared(x, p["qkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    ctx = _attention_core(q, k, v, bias, n_heads)
+    ctx = _core(q, k, v, bias, n_heads, p)
     out = int8_dense_shared(ctx, p["out"])
     return layer_norm(out + x, p["ln"])
 
@@ -233,7 +305,7 @@ def _cross_attention(x, ctx_x, p, ctx_bias, n_heads,
     if ctx_kv is None:
         ctx_kv = int8_dense_shared(ctx_x, p["kv"])
     k, v = jnp.split(ctx_kv, 2, axis=-1)
-    ctx = _attention_core(q, k, v, ctx_bias, n_heads)
+    ctx = _core(q, k, v, ctx_bias, n_heads, p)
     out = int8_dense_shared(ctx, p["out"])
     return layer_norm(out + x, p["ln"])
 
@@ -334,6 +406,9 @@ def apply_calibration(tree, calib: Dict[int, float]):
             amax = calib.get(id(node.w_i8))
             return (with_activation_scale(node, amax)
                     if amax is not None else node)
+        if isinstance(node, ActScale):
+            amax = calib.get(id(node.key))
+            return with_act_scale(node, amax) if amax is not None else node
         if isinstance(node, dict):
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
