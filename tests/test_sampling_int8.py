@@ -111,3 +111,27 @@ def test_ar_int8_commits_every_cell(setup, strategy):
     want = np.asarray(centroids)[cl]
     np.testing.assert_allclose(np.asarray(code, np.float32), want,
                                atol=2e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("strategy", ["TLBR", "order"])
+def test_ar_selective_head_is_bit_identical(setup, strategy):
+    """TLBR/order run the 10k-way cluster head on the current cell only
+    (selective_head, the AR FLOP lever): int32 accumulation makes the
+    single-row head equal the full-grid head's row exactly, so commits
+    must be BIT-identical to the full-head path."""
+    from xlxmert_tpu.serving.sampling_int8 import make_ar_sampler_int8
+
+    _, _, ssp, centroids, ids, mask, _, _ = setup
+    fast = make_ar_sampler_int8(CFG, grid_size=GRID, strategy=strategy)
+    full = make_ar_sampler_int8(CFG, grid_size=GRID, strategy=strategy,
+                                selective_head=False)
+    args = (ssp, jnp.asarray(centroids), ids, mask)
+    if strategy == "order":
+        order = jnp.asarray(np.random.RandomState(7).permutation(N_CELLS))
+        code_f, ids_f = fast(*args, order)
+        code_r, ids_r = full(*args, order)
+    else:
+        code_f, ids_f = fast(*args)
+        code_r, ids_r = full(*args)
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_r))
+    np.testing.assert_array_equal(np.asarray(code_f), np.asarray(code_r))

@@ -82,14 +82,21 @@ def obj_head_forward(ohp: Dict, visn: jnp.ndarray) -> jnp.ndarray:
     return int8_dense_shared(feat, ohp["cluster"]).astype(jnp.float32)
 
 
-def _predict_from_lang(sp: Dict, lang, lang_bias, feats, pos,
-                       n_heads: int):
-    """Decode-step half: visual stack + x-layers + cluster head. The
-    language stack is step-invariant (text fixed across decode steps) —
-    callers run lang_encode ONCE and reuse (lang, lang_bias)."""
+def _encode_from_lang(sp: Dict, lang, lang_bias, feats, pos,
+                      n_heads: int):
+    """Visual stack + x-layers -> final visual hidden states (B, V, H).
+    The language stack is step-invariant (text fixed across decode
+    steps) — callers run lang_encode ONCE and reuse (lang, lang_bias)."""
     visn, visn_bias = visn_encode(sp["bert"], feats, pos, None, n_heads)
     _, visn, _ = cross_encode(sp["bert"], lang, visn, lang_bias,
                               visn_bias, n_heads)
+    return visn
+
+
+def _predict_from_lang(sp: Dict, lang, lang_bias, feats, pos,
+                       n_heads: int):
+    """Decode-step half: visual stack + x-layers + cluster head."""
+    visn = _encode_from_lang(sp, lang, lang_bias, feats, pos, n_heads)
     return obj_head_forward(sp["obj_head"], visn)
 
 
@@ -190,7 +197,7 @@ def make_nar_sampler_int8(cfg: LxmertConfig, n_steps: int,
 
 def make_ar_sampler_int8(cfg: LxmertConfig, grid_size: int = 8,
                          strategy: str = "confidence",
-                         n_steps=None):
+                         n_steps=None, selective_head: bool = True):
     """Jitted int8 AR sampler (reference imggen_model.py:49-167, bf16
     transcription in tasks/sampling.make_ar_sampler). One cell committed
     per step over n_steps (default 64) full forwards — the cached
@@ -198,6 +205,16 @@ def make_ar_sampler_int8(cfg: LxmertConfig, grid_size: int = 8,
 
     strategy in {"confidence", "TLBR", "order"}; "order" consumes a
     caller-provided (n_steps,) position array.
+
+    selective_head (TLBR/order only): these strategies commit exactly
+    the CURRENT cell, so the 10k-way cluster head runs on that one cell
+    instead of all 64 — the head is ~2.9 of the ~13 GFLOP/sample/step
+    (transform 75M + linear_feat 201M + 2048x10000 logits 2.6G), so
+    this removes ~22%% of the per-step FLOPs with BIT-IDENTICAL commits
+    (int32 accumulation; the head row at `cur` is the same computation
+    either way — pinned in tests/test_sampling_int8.py). The
+    confidence strategy structurally needs every unvisited cell's
+    max-probability, so it keeps the full head.
 
     Returns fn(sp, centroids, input_ids, attention_mask[, positions])
       -> (code, cluster_ids).
@@ -207,6 +224,7 @@ def make_ar_sampler_int8(cfg: LxmertConfig, grid_size: int = 8,
     if strategy not in ("confidence", "TLBR", "order"):
         raise ValueError(
             f"strategy {strategy!r} not in ('confidence', 'TLBR', 'order')")
+    selective = selective_head and strategy in ("TLBR", "order")
     n_cells = grid_size * grid_size
     n_steps = n_steps or n_cells
     box_pos = jnp.asarray(box_position(grid_size))
@@ -242,14 +260,25 @@ def make_ar_sampler_int8(cfg: LxmertConfig, grid_size: int = 8,
                 vis_mask = jnp.maximum(vis_mask, onehot_cur[None, :])
 
             feats = jnp.where(vis_mask[..., None] > 0, mask_feat, code)
-            logits = _predict_from_lang(sp, lang, lang_bias, feats, pos,
-                                        n_heads)
-            logp = (logits.max(axis=-1)
-                    - jax.nn.logsumexp(logits, axis=-1))
-            pred_prob = jnp.exp(logp)
-            pred_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if selective:
+                # TLBR/order: only the current cell is committed — run
+                # the 10k-way head on that one cell (bit-identical row)
+                visn = _encode_from_lang(sp, lang, lang_bias, feats,
+                                         pos, n_heads)
+                visn_cur = jax.lax.dynamic_slice_in_dim(visn, cur, 1,
+                                                        axis=1)
+                logits = obj_head_forward(sp["obj_head"], visn_cur)
+                pred_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                pred_id = jnp.broadcast_to(pred_id, (B, n_cells))
+            else:
+                logits = _predict_from_lang(sp, lang, lang_bias, feats,
+                                            pos, n_heads)
+                pred_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
             if strategy == "confidence":
+                logp = (logits.max(axis=-1)
+                        - jax.nn.logsumexp(logits, axis=-1))
+                pred_prob = jnp.exp(logp)
                 scores = jnp.where(visited > 0, NEG, pred_prob)
                 top = jnp.argmax(scores, axis=-1)
                 update = jax.nn.one_hot(top, n_cells, dtype=jnp.float32)
