@@ -60,3 +60,30 @@ def test_bilinear_resize_np_matches_jax():
             jnp.asarray(img), (299, 299, 3), "bilinear", antialias=False))
         got = bilinear_resize_np(img)
         np.testing.assert_allclose(got, ref, atol=1e-4, rtol=0)
+
+
+def test_hub_checksum_verifier(tmp_path):
+    """verify_hub_checksum: torch-hub-style names (<name>-<8hex>.pth)
+    are integrity-checked by sha256 prefix — the pt_inception FID
+    weights path must fail LOUDLY on a corrupt download and pass on a
+    correct one; non-hub names are ignored."""
+    import hashlib
+
+    import pytest
+
+    from xlxmert_tpu.cli.eval_fid import verify_hub_checksum
+
+    blob = b"not really inception weights"
+    prefix = hashlib.sha256(blob).hexdigest()[:8]
+    good = tmp_path / f"pt_inception-2015-12-05-{prefix}.pth"
+    good.write_bytes(blob)
+    verify_hub_checksum(str(good))  # no raise
+
+    bad = tmp_path / "pt_inception-2015-12-05-6726825d.pth"
+    bad.write_bytes(blob)  # wrong content for the claimed prefix
+    with pytest.raises(SystemExit, match="CHECKSUM MISMATCH"):
+        verify_hub_checksum(str(bad))
+
+    plain = tmp_path / "resnet50.pth"
+    plain.write_bytes(blob)
+    verify_hub_checksum(str(plain))  # non-hub name: skipped
