@@ -41,11 +41,13 @@ import numpy as np
 A100_BASELINE_QPS = 4000.0
 A100_BASELINE_SAMPLES_PER_SEC = 150.0
 V5E_INT8_PEAK_TOPS = 394e12
-# Best sustained int8 matmul rate actually measured on this chip
-# (serving/lxmert_int8.py docstring: 287 TOP/s on the serving shapes).
-# Efficiency against THIS number is the one that can move with better
-# scheduling; mfu_vs_int8_peak is the against-silicon context.
-MEASURED_INT8_TOPS = 287e12
+# Best sustained int8 matmul rate actually measured on this chip:
+# 377 TOP/s flop-weighted over the serving GEMM mix, via the standalone
+# loop-carried pair-chain program (scripts/roofline_int8.py, round 4 —
+# 96% of the 394 datasheet peak; the earlier in-engine microbench said
+# 287). Efficiency against THIS number is the one that can move with
+# better scheduling; mfu_vs_int8_peak is the against-silicon context.
+MEASURED_INT8_TOPS = 377e12
 
 
 def flops_per_sample(cfg, L=20, V=64, n_answers=3129):

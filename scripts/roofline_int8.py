@@ -4,12 +4,13 @@ Independently reproduces the 287 TOP/s int8 figure that
 docs/CEILING.md's VQA ceiling argument rests on (VERDICT r3 "what's
 weak" #2: the claim rested on one microbench inside the engine).
 
-Method: for each serving-shape GEMM, chain K loop-carried matmuls
+Method: for each serving-shape GEMM pair (768 -> N -> 768 with the
+engine's static-scale requant between), chain K loop-carried pairs
 inside ONE jitted lax.scan (the carry feeds the next input, so XLA
-cannot hoist or parallelize them) and fetch one scalar; timing
-differences two chain lengths to cancel dispatch/tunnel constants —
-the same discipline as bench.py (block_until_ready is unreliable
-through the axon tunnel, .claude/skills/verify/SKILL.md).
+cannot hoist, parallelize, or dead-code-eliminate them) and fetch one
+scalar; timing differences two chain lengths to cancel dispatch/tunnel
+constants — the same discipline as bench.py (block_until_ready is
+unreliable through the axon tunnel, .claude/skills/verify/SKILL.md).
 
 Run:  python scripts/roofline_int8.py [--cpu] [--reps 3]
 Prints per-shape int8 and bf16 TOP/s and the FLOP-weighted mean over
@@ -25,45 +26,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-# (name, M, K, N, weight): the int8 engine's GEMM mix for one B=256
-# VQA forward (serving/lxmert_int8.py) — M is rows (B*L or B*V), weight
-# is how many times the shape occurs per forward.
+# (name, M, N_mid, weight): the int8 engine's GEMM mix for one B=256
+# VQA forward (serving/lxmert_int8.py), expressed as dependent
+# up/down-projection PAIRS (768 -> N_mid -> 768). Pairs, not single
+# GEMMs: a single GEMM whose output feeds the next link through any
+# slice/fold either gets its unused columns dead-code-eliminated by
+# XLA (measured 3-4x inflated TOP/s) or pays an artificial reduction
+# (measured up to 2x deflated) — a second real GEMM consumes every
+# column at zero artifice, and the requant between them is the
+# engine's actual static-scale epilogue. M is rows (B*L or B*V);
+# weight is how many times the pair occurs per forward.
 SHAPES = [
-    ("lang qkv (B*20,768,2304)", 256 * 20, 768, 2304, 9),
-    ("lang out  (B*20,768,768)", 256 * 20, 768, 768, 9),
-    ("lang ffn1 (B*20,768,3072)", 256 * 20, 768, 3072, 9),
-    ("lang ffn2 (B*20,3072,768)", 256 * 20, 3072, 768, 9),
-    ("visn qkv (B*64,768,2304)", 256 * 64, 768, 2304, 10),
-    ("visn ffn1 (B*64,768,3072)", 256 * 64, 768, 3072, 10),
-    ("x kv     (B*64,768,1536)", 256 * 64, 768, 1536, 5),
+    ("lang qkv+out (B*20, 768<->2304)", 256 * 20, 2304, 9),
+    ("lang ffn     (B*20, 768<->3072)", 256 * 20, 3072, 9),
+    ("visn qkv+out (B*64, 768<->2304)", 256 * 64, 2304, 10),
+    ("visn ffn     (B*64, 768<->3072)", 256 * 64, 3072, 10),
+    ("x kv+out     (B*64, 768<->1536)", 256 * 64, 1536, 5),
 ]
+H = 768
 
 
-def measure_shape(M, K, N, dtype, reps):
+def measure_shape(M, N, dtype, reps):
     import jax
     import jax.numpy as jnp
 
     if dtype == "int8":
         x0 = jnp.asarray(
-            np.random.RandomState(0).randint(-127, 127, (M, K)), jnp.int8)
-        w = jnp.asarray(
-            np.random.RandomState(1).randint(-127, 127, (K, N)), jnp.int8)
+            np.random.RandomState(0).randint(-127, 127, (M, H)), jnp.int8)
+        w_up = jnp.asarray(
+            np.random.RandomState(1).randint(-127, 127, (H, N)), jnp.int8)
+        w_dn = jnp.asarray(
+            np.random.RandomState(2).randint(-127, 127, (N, H)), jnp.int8)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
 
         def one(x):
-            acc = jax.lax.dot_general(
-                x, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            # loop-carried dependence: next input derives from acc
-            return (acc[:, :K] & 0x7F).astype(jnp.int8)
+            mid = (mm(x, w_up) >> 8).astype(jnp.int8)  # static-scale
+            out = (mm(mid, w_dn) >> 8).astype(jnp.int8)  # requant x2
+            return out
     else:
         x0 = jnp.asarray(
-            np.random.RandomState(0).randn(M, K) * 0.1, jnp.bfloat16)
-        w = jnp.asarray(
-            np.random.RandomState(1).randn(K, N) * 0.1, jnp.bfloat16)
+            np.random.RandomState(0).randn(M, H) * 0.1, jnp.bfloat16)
+        w_up = jnp.asarray(
+            np.random.RandomState(1).randn(H, N) * 0.05, jnp.bfloat16)
+        w_dn = jnp.asarray(
+            np.random.RandomState(2).randn(N, H) * 0.05, jnp.bfloat16)
 
         def one(x):
-            acc = x @ w
-            return jnp.tanh(acc[:, :K])
+            return jnp.tanh((x @ w_up) @ w_dn)
 
     import functools
 
@@ -84,9 +97,16 @@ def measure_shape(M, K, N, dtype, reps):
             best = min(best, time.time() - t0)
         return best
 
-    K_SMALL, K_BIG = 8, 64
+    # One GEMM pair here is ~60-160 us — far below the ~50-60 ms tunnel
+    # round-trip and its +-10 ms jitter, so fixed short chains produce
+    # garbage (negative deltas). Scale the chain so the DIFFERENCE
+    # alone is ~1.5 s of device work: noise becomes <1%.
+    K_SMALL = 256
+    t_small = t(K_SMALL)
+    per_ub = t_small / K_SMALL        # upper bound (includes overhead)
+    K_BIG = K_SMALL + max(2048, min(65536, int(1.5 / per_ub)))
     per = (t(K_BIG) - t(K_SMALL)) / (K_BIG - K_SMALL)
-    ops = 2.0 * M * K * N
+    ops = 4.0 * M * H * N             # two GEMMs per link
     return ops / per
 
 
@@ -107,12 +127,12 @@ def main():
     rows = []
     tot_ops = {"int8": 0.0, "bf16": 0.0}
     tot_time = {"int8": 0.0, "bf16": 0.0}
-    for name, M, K, N, wgt in SHAPES:
+    for name, M, N, wgt in SHAPES:
         rec = {"shape": name}
         for dt in ("int8", "bf16"):
-            rate = measure_shape(M, K, N, dt, args.reps)
+            rate = measure_shape(M, N, dt, args.reps)
             rec[dt] = rate
-            ops = 2.0 * M * K * N * wgt
+            ops = 4.0 * M * H * N * wgt
             tot_ops[dt] += ops
             tot_time[dt] += ops / rate
             print(f"{name:34s} {dt}: {rate/1e12:7.1f} TOP/s", flush=True)
