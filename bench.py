@@ -197,7 +197,7 @@ def measure_vqa(cfg, Bs=(256, 512), verbose=False):
         per_batch = (t(K_BIG) - t(K_SMALL)) / (K_BIG - K_SMALL)
         return B / per_batch
 
-    qps_int8, qps_bf16 = 0.0, 0.0
+    qps_int8, qps_bf16, qi_b256 = 0.0, 0.0, 0.0
     for B in Bs:
         ids, mask, _, pos = inputs(B)
         qi = timed(run_int8, (sqp, shqp, ids, pos, mask), B)
@@ -205,13 +205,29 @@ def measure_vqa(cfg, Bs=(256, 512), verbose=False):
         if verbose:
             print(f"B={B}: int8 {qi:8.1f} q/s, bf16 {qb:8.1f} q/s",
                   flush=True)
+        if B == 256:
+            qi_b256 = qi
         qps_int8 = max(qps_int8, qi)
         qps_bf16 = max(qps_bf16, qb)
+
+    # length-bucketed stream (CEILING.md §1 lever 3, measured +10.7%):
+    # per-bucket rates at B=256 and the typical-VQA-mix effective rate
+    # cli/serve --buckets routes into. L=20 reuses the headline run.
+    bucket = {20: qi_b256}
+    B = 256
+    _, _, _, pos = inputs(B)
+    for Lb in (8, 12, 16):
+        ids_b = jnp.ones((B, Lb), jnp.int32)
+        mask_b = jnp.ones((B, Lb), jnp.float32)
+        bucket[Lb] = timed(run_int8, (sqp, shqp, ids_b, pos, mask_b), B)
+    mix = {8: 0.35, 12: 0.45, 16: 0.15, 20: 0.05}
+    bucketed = 1.0 / sum(f / bucket[Lb] for Lb, f in mix.items())
+
     path = "int8_static"
     qps = qps_int8
     if qps_bf16 > qps_int8:  # safety: never report a regression path
         qps, path = qps_bf16, "bf16"
-    return qps, qps_bf16, path
+    return qps, qps_bf16, path, bucketed
 
 
 def measure_sampling(cfg):
@@ -423,10 +439,11 @@ def main():
         return
 
     try:
-        qps, qps_bf16, path = measure_vqa(cfg)
+        qps, qps_bf16, path, bucketed = measure_vqa(cfg)
         fps = flops_per_sample(cfg)
         extra.update({
             "serving_path": path,
+            "bucketed_mix_qps": round(bucketed, 1),
             "bf16_queries_per_sec": round(qps_bf16, 1),
             "model_tflops": round(qps * fps / 1e12, 1),
             "mfu_vs_int8_peak": round(qps * fps / V5E_INT8_PEAK_TOPS, 3),

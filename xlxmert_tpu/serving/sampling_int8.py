@@ -197,7 +197,7 @@ def make_nar_sampler_int8(cfg: LxmertConfig, n_steps: int,
 
 def make_ar_sampler_int8(cfg: LxmertConfig, grid_size: int = 8,
                          strategy: str = "confidence",
-                         n_steps=None, selective_head: bool = True):
+                         n_steps=None, selective_head: bool = False):
     """Jitted int8 AR sampler (reference imggen_model.py:49-167, bf16
     transcription in tasks/sampling.make_ar_sampler). One cell committed
     per step over n_steps (default 64) full forwards — the cached
@@ -215,6 +215,15 @@ def make_ar_sampler_int8(cfg: LxmertConfig, grid_size: int = 8,
     either way — pinned in tests/test_sampling_int8.py). The
     confidence strategy structurally needs every unvisited cell's
     max-probability, so it keeps the full head.
+
+    Default OFF: measured SLOWER on the chip despite the FLOP cut —
+    171.5 vs 178.8 samples/s TLBR full-head at B=64
+    (scripts/drive_ar.py, round 4). The (B,1,·) head matmuls fall off
+    the MXU's efficient tiling and the dynamic-slice gather at `cur`
+    breaks fusion; the 22%% FLOP saving buys back less than the
+    small-shape overhead costs. Kept because it is exact and wins
+    nothing to remove; revisit at much larger grid sizes where the
+    head share grows.
 
     Returns fn(sp, centroids, input_ids, attention_mask[, positions])
       -> (code, cluster_ids).
