@@ -212,16 +212,20 @@ def measure_vqa(cfg, Bs=(256, 512), verbose=False):
 
     # length-bucketed stream (CEILING.md §1 lever 3, measured +10.7%):
     # per-bucket rates at B=256 and the typical-VQA-mix effective rate
-    # cli/serve --buckets routes into. L=20 reuses the headline run.
-    bucket = {20: qi_b256}
+    # cli/serve --buckets routes into. L=20 reuses the headline run
+    # when the sweep included B=256; otherwise it is measured here.
+    from xlxmert_tpu.serving.lxmert_int8 import VQA_LENGTH_MIX
+    bucket = {20: qi_b256} if qi_b256 > 0 else {}
     B = 256
     _, _, _, pos = inputs(B)
-    for Lb in (8, 12, 16):
+    for Lb in sorted(VQA_LENGTH_MIX):
+        if Lb in bucket:
+            continue
         ids_b = jnp.ones((B, Lb), jnp.int32)
         mask_b = jnp.ones((B, Lb), jnp.float32)
         bucket[Lb] = timed(run_int8, (sqp, shqp, ids_b, pos, mask_b), B)
-    mix = {8: 0.35, 12: 0.45, 16: 0.15, 20: 0.05}
-    bucketed = 1.0 / sum(f / bucket[Lb] for Lb, f in mix.items())
+    bucketed = 1.0 / sum(f / bucket[Lb]
+                         for Lb, f in VQA_LENGTH_MIX.items())
 
     path = "int8_static"
     qps = qps_int8

@@ -42,7 +42,10 @@ parser.add_argument("--kmeans_bf16", action="store_true",
                     help="store the data matrix bf16 (halves HBM; "
                     "fp32 accumulation either way)")
 # extract knobs
-parser.add_argument("--batch", type=int, default=8)
+parser.add_argument("--batch", type=int, default=4,
+                    help="B=8 fp32 OOMs 16G HBM (grouped-conv layout "
+                    "pads 32x8 channels to 32x128); B=4 fp32 and "
+                    "B=8 --bf16 both fit")
 parser.add_argument("--height", type=int, default=800)
 parser.add_argument("--width", type=int, default=1344,
                     help="max-1333 snapped to /32 (the reference canvas)")

@@ -57,7 +57,8 @@ SMOKE = args.smoke
 GRID = 2 if SMOKE else 8
 N_IMG = args.n_images or (12 if SMOKE else 160)
 IMG_SIZE = 64 if SMOKE else 0          # 0 = reference min-800/max-1333
-EXTRACT_BATCH = 4 if SMOKE else 8
+EXTRACT_BATCH = 4  # B=8 fp32 X-152 OOMs 16G HBM: the ResNeXt grouped
+# convs' [B,H,W,32,8] layout pads the 8-lane dim to 128 (16x temp blow-up)
 K = 10 if SMOKE else 10000
 KM_ITERS = 2 if SMOKE else 3
 B_PRE = args.batch_size or (8 if SMOKE else 256)
@@ -163,7 +164,7 @@ def _fixtures():
         "\n".join(sent(r) for _ in range(B_SAMPLE)) + "\n")
 
 
-H5 = root / "mscoco_imgfeat" / "maskrcnn_train_grid%d.h5" % GRID
+H5 = root / "mscoco_imgfeat" / ("maskrcnn_train_grid%d.h5" % GRID)
 CENT = (root / "cluster_centroids" /
         f"maskrcnn_mscoco_train_centroids{K}_iter{KM_ITERS}"
         f"_d2048_grid{GRID}.npy")

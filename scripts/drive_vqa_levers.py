@@ -125,11 +125,24 @@ def main():
         out[f"bucket_L{L}"] = qps_at(L, f"bucket L={L}")
 
     # a stream with the VQA length distribution (~80% of questions fit
-    # L<=12): effective q/s if routed by cli/serve --buckets
-    mix = {8: 0.35, 12: 0.45, 16: 0.15, 20: 0.05}
-    t_eff = sum(frac / out[f"bucket_L{L}"] for L, frac in mix.items()
-                if f"bucket_L{L}" in out)
-    out["bucketed_mix_qps"] = 1.0 / t_eff if t_eff else None
+    # L<=12): effective q/s if routed by cli/serve --buckets. Traffic
+    # for an unmeasured mix length is routed to the smallest measured
+    # bucket that holds it (cli/serve semantics: the largest bucket
+    # always covers L_MAX) so a partial --lengths sweep can't inflate
+    # the effective rate.
+    from xlxmert_tpu.serving.lxmert_int8 import VQA_LENGTH_MIX
+    measured = sorted(L for L in VQA_LENGTH_MIX if f"bucket_L{L}" in out)
+    if measured:
+        if L_MAX not in measured:
+            out[f"bucket_L{L_MAX}"] = out["baseline_L20"]
+            measured.append(L_MAX)
+        t_eff = 0.0
+        for L, frac in VQA_LENGTH_MIX.items():
+            Lb = next(b for b in measured if b >= L)
+            t_eff += frac / out[f"bucket_L{Lb}"]
+        out["bucketed_mix_qps"] = 1.0 / t_eff
+    else:
+        out["bucketed_mix_qps"] = None
     print(json.dumps({k: (round(v, 1) if isinstance(v, float) else v)
                       for k, v in out.items()}))
 

@@ -22,9 +22,10 @@ def main():
     from xlxmert_tpu.core.config import LxmertConfig
 
     bs = tuple(int(b) for b in ns.bs.split(","))
-    qps, qps_bf16, path = bench.measure_vqa(LxmertConfig(), Bs=bs,
-                                            verbose=True)
-    print(f"best: {qps:.1f} q/s ({path}); bf16 {qps_bf16:.1f}")
+    qps, qps_bf16, path, bucketed = bench.measure_vqa(
+        LxmertConfig(), Bs=bs, verbose=True)
+    print(f"best: {qps:.1f} q/s ({path}); bf16 {qps_bf16:.1f}; "
+          f"bucketed mix {bucketed:.1f}")
 
 
 if __name__ == "__main__":

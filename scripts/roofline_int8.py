@@ -120,8 +120,21 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/xlxmert_roofline"))
+    # stamp the cache dir by toolchain version (same guard as
+    # xlxmert_tpu/__init__.py — replayed stale-AOT entries after a
+    # libtpu/jaxlib roll crash instead of recompiling; kept inline so
+    # this script stays standalone)
+    import importlib.metadata as _md
+    stamp = [jax.__version__]
+    for dist in ("libtpu", "libtpu-nightly"):
+        try:
+            stamp.append(_md.version(dist))
+        except _md.PackageNotFoundError:
+            pass
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/xlxmert_roofline/"
+                           + "-".join(stamp)))
     print("devices:", jax.devices())
 
     rows = []

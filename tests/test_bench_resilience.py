@@ -42,7 +42,8 @@ def test_bench_emits_json_when_every_stage_dies(monkeypatch):
 
 def test_bench_partial_results_survive_one_stage_failure(monkeypatch):
     monkeypatch.setattr(bench, "measure_vqa",
-                        lambda cfg: (8000.0, 7000.0, "int8_static"))
+                        lambda cfg: (8000.0, 7000.0, "int8_static",
+                                     8800.0))
     monkeypatch.setattr(bench, "measure_sampling",
                         lambda cfg: (900.0, 800.0, "int8_static", 1000.0))
 

@@ -97,7 +97,7 @@ def test_extract_cli_two_corpus_layouts(tmp_path):
              seed=i)
     main(["--corpus", "coco", "--root", str(coco), "--split", "valid",
           "--grid_size", "2", "--image_size", "64", "--batch_size", "2"])
-    out = coco / "features" / "resnet50_valid_grid2.h5"
+    out = coco / "features" / "resnet50_valid_grid2_imsize64.h5"
     assert out.exists()
     with h5py.File(out) as f:
         assert sorted(f.keys()) == [f"COCO_val2014_{i:012d}"
@@ -110,6 +110,6 @@ def test_extract_cli_two_corpus_layouts(tmp_path):
     _img(gqa / "images" / "n200.jpg", seed=6)
     main(["--corpus", "gqa", "--root", str(gqa),
           "--grid_size", "2", "--image_size", "64", "--batch_size", "2"])
-    out = gqa / "features" / "resnet50_grid2.h5"
+    out = gqa / "features" / "resnet50_grid2_imsize64.h5"
     with h5py.File(out) as f:
         assert sorted(f.keys()) == ["n100", "n200"]

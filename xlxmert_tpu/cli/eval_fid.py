@@ -163,12 +163,12 @@ def main(argv=None):
         if kind == "inception":
             from xlxmert_tpu.models.inception import InceptionV3
 
-            variables = InceptionV3().init(
+            variables = jax.jit(InceptionV3().init)(
                 jax.random.PRNGKey(0), np.zeros((1, 299, 299, 3),
                                                 np.float32))
         else:
             model = resnet50()
-            variables = model.init(
+            variables = jax.jit(model.init)(
                 jax.random.PRNGKey(0),
                 np.zeros((1, ns.image_size, ns.image_size, 3), np.float32))
 

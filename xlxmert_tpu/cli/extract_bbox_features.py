@@ -107,7 +107,7 @@ def main(argv=None):
     else:
         print("WARNING: random-init detector (no --weights) — features are "
               "for pipeline testing only")
-        params = model.init(
+        params = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, *canvas_hw, 3)),
             jnp.asarray([[canvas_hw[0], canvas_hw[1]]], jnp.int32))["params"]
 

@@ -64,9 +64,17 @@ def resolve_inputs(ns, kind: str = "grid", n_boxes: int = 36):
         if not ns.root:
             raise SystemExit("--corpus requires --root")
         paths = corpus_image_paths(ns.corpus, _P(ns.root), ns.split)
-        imsize = (ns.image_size
-                  if (getattr(ns, "arch", "maskrcnn") == "maskrcnn"
-                      and getattr(ns, "image_size", 0)) else None)
+        arch = getattr(ns, "arch", "maskrcnn")
+        size = getattr(ns, "image_size", 0)
+        if arch == "maskrcnn":
+            # reference convention: tag only when --imsize mode is used
+            # (0 = the min-800/max-1333 canvas, untagged)
+            imsize = size or None
+        else:
+            # resnet archs always square-resize; tag non-default sizes
+            # so two extractions at different sizes can't collide on
+            # one derived output path
+            imsize = size if size != 256 else None
         out = ns.out or str(extractor_output_path(
             ns.corpus, _P(ns.root), ns.split,
             getattr(ns, "arch", "maskrcnn"), kind,
@@ -129,10 +137,15 @@ def run_maskrcnn(ns):
     else:
         print("WARNING: random-init detector (no --weights) — features are "
               "for pipeline testing only")
-        params = model.init(
+        # jit the init: eager flax init dispatches the whole X-152
+        # op-by-op (minutes through a remote-compile tunnel)
+        t0 = time.time()
+        params = jax.jit(model.init)(
             jax.random.PRNGKey(0),
             jnp.zeros((1, *canvas_hw, 3)),
             jnp.asarray([[canvas_hw[0], canvas_hw[1]]], jnp.int32))["params"]
+        jax.block_until_ready(params)
+        print(f"detector init {time.time()-t0:.1f}s", flush=True)
 
     extract = jax.jit(
         lambda params, images, sizes: model.apply(
@@ -167,6 +180,9 @@ def run_maskrcnn(ns):
             feats = np.asarray(
                 extract(params, jnp.asarray(images), jnp.asarray(sizes)),
                 np.float32)
+            if n == 0:
+                print(f"first batch (jit compile) "
+                      f"{time.time()-t0:.1f}s", flush=True)
             G = ns.grid_size
             for i, img_id in enumerate(ids):
                 g = f.create_group(img_id)
@@ -222,8 +238,9 @@ def main(argv=None):
     else:
         print("WARNING: random-init backbone (no --weights) — features are "
               "for pipeline testing only")
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, ns.image_size, ns.image_size, 3)))
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, ns.image_size, ns.image_size, 3)))
 
     @jax.jit
     def extract(variables, images):

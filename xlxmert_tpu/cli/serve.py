@@ -121,14 +121,21 @@ def main(argv=None):
         jnp.asarray(box_position(grid))[None], (B, V, 4)
     ).astype(jnp.bfloat16)
 
-    def build_batch(chunk, size, length=L):
+    def build_batch(chunk, size, length=L, ids_rows=None):
         """Tokenize/pad/feature-index one batch — the ONE place serving
         inputs are assembled, shared by the serving loop and int8
         calibration so the calibrated distribution is exactly what is
-        served."""
+        served. `ids_rows` supplies already-encoded L-wide rows (the
+        bucketed path tokenizes the whole stream once for routing and
+        reuses those rows here)."""
         n_valid = len(chunk)
         chunk = chunk + [chunk[-1]] * (size - n_valid)  # pad last batch
-        ids = tokenizer.encode_batch([q["sent"] for q in chunk], L)
+        if ids_rows is None:
+            ids = tokenizer.encode_batch([q["sent"] for q in chunk], L)
+        else:
+            ids = np.concatenate(
+                [ids_rows] + [ids_rows[-1:]] * (size - n_valid), 0
+            ) if size > n_valid else ids_rows
         ids = ids[:, :length]
         mask = (ids > 0).astype(np.float32)
         picks = cache.indices([q["img_id"] for q in chunk])
@@ -147,15 +154,16 @@ def main(argv=None):
         full_ids = tokenizer.encode_batch([q["sent"] for q in questions], L)
         lengths = (full_ids > 0).sum(axis=1)
         by_bucket = {b: [] for b in buckets}
-        for q, n_tok in zip(questions, lengths):
+        for i, n_tok in enumerate(lengths):
             b = next(b for b in buckets if n_tok <= b)
-            by_bucket[b].append(q)
+            by_bucket[b].append(i)
         all_batches = []
         for b in buckets:
-            qs = by_bucket[b]
+            idxs = by_bucket[b]
             all_batches.extend(
-                build_batch(qs[s:s + B], B, length=b)
-                for s in range(0, len(qs), B))
+                build_batch([questions[i] for i in idxs[s:s + B]], B,
+                            length=b, ids_rows=full_ids[idxs[s:s + B]])
+                for s in range(0, len(idxs), B))
         print("buckets: " + ", ".join(
             f"L={b}: {len(by_bucket[b])}" for b in buckets))
         # the largest batch first: it absorbs compile+warm-up below, and

@@ -120,8 +120,8 @@ class ConvLayer(nn.Module):
         in_feats = x.shape[-1] // self.groups
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (k, k, in_feats, self.features), jnp.float32)
-        y = _conv(x, kernel.astype(self.dtype), self.stride, self.padding,
-                  self.groups)
+        y = _conv(x.astype(self.dtype), kernel.astype(self.dtype),
+                  self.stride, self.padding, self.groups)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

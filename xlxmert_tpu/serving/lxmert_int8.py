@@ -61,6 +61,12 @@ from xlxmert_tpu.ops.quant import (
 
 NEG_INF = -1e9
 
+# Assumed VQA question-length distribution over WordPiece length
+# buckets (~80% of questions fit L<=12; see docs/CEILING.md §1 lever 3).
+# The ONE definition shared by bench.py and scripts/drive_vqa_levers.py
+# so every reported bucketed_mix_qps reflects the same stream mix.
+VQA_LENGTH_MIX = {8: 0.35, 12: 0.45, 16: 0.15, 20: 0.05}
+
 # int8 attention score/context einsums (VERDICT r3 lever b): when
 # enabled AND the q/k/v ActScales are calibrated, the two attention
 # einsums run int8 x int8 -> int32 on the MXU with static dequant

@@ -86,8 +86,9 @@ class FinetuneEngine:
 
     def init_params(self, rng):
         ids, feats, pos, mask = self._dummy_inputs()
-        return self.model.init(rng, ids, feats, pos,
-                               attention_mask=mask, deterministic=True)["params"]
+        return jax.jit(lambda r: self.model.init(
+            r, ids, feats, pos, attention_mask=mask,
+            deterministic=True))(rng)["params"]
 
     def create_state(self, rng, params=None) -> TrainState:
         params = params if params is not None else self.init_params(rng)

@@ -279,8 +279,10 @@ class PretrainEngine:
         heads = set()
         for t in self.cfg.mask_modalities:
             heads.update(_task_heads(t, self.cfg))
-        variables = self.model.init(
-            rng, jnp.ones((B, L), jnp.int32), dummy_feats,
+        # jitted init: eager flax init dispatches the 19-layer stack
+        # op-by-op (~90s through the remote-compile tunnel vs one program)
+        variables = jax.jit(lambda r: self.model.init(
+            r, jnp.ones((B, L), jnp.int32), dummy_feats,
             jnp.zeros((B, V, 4)),
             attention_mask=jnp.ones((B, L)),
             vis_mask=jnp.zeros((B, V)),
@@ -288,7 +290,7 @@ class PretrainEngine:
             word_embedding_matrix=jnp.zeros(
                 (self.model_cfg.vocab_size, self.model_cfg.hidden_size)),
             heads=tuple(sorted(heads)),
-            deterministic=True)
+            deterministic=True))(rng)
         return variables["params"]
 
     def create_state(self, rng) -> TrainState:

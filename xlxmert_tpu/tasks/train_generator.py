@@ -99,8 +99,10 @@ class GanEngine:
         code = jnp.zeros((B, cfg.init_H, cfg.init_W, cfg.emb_dim))
         img = jnp.zeros((B, cfg.target_size, cfg.target_size, 3))
         rg, rd, rn = jax.random.split(rng, 3)
-        g_vars = self.G.init({"params": rg, "noise": rn}, code, train=True)
-        d_vars = self.D.init({"params": rd}, img, y=code, centroids=centroids)
+        g_vars = jax.jit(lambda r: self.G.init(r, code, train=True))(
+            {"params": rg, "noise": rn})
+        d_vars = jax.jit(lambda r: self.D.init(
+            r, img, y=code, centroids=centroids))({"params": rd})
         state = GanState(
             step=jnp.zeros((), jnp.int32),
             params_g=g_vars["params"], params_d=d_vars["params"],
