@@ -330,3 +330,39 @@ def test_multilevel_pool_selects_per_roi_level():
                            2, 2)
         np.testing.assert_allclose(np.asarray(out[i]),
                                    np.asarray(direct[0]), atol=1e-6)
+
+
+def test_grouped_conv_einsum_lowering_is_exact():
+    """group_conv_mode's im2col+einsum rewrite of the ResNeXt grouped
+    convs (CEILING.md §3b lever) matches lax grouped conv bit-closely
+    across the stage shapes (Cg = 8..64), strides, and 1x1 kernels."""
+    from xlxmert_tpu.models.detectron import (
+        _conv, _grouped_conv_einsum, group_conv_mode)
+    import xlxmert_tpu.models.detectron as det
+
+    rng = np.random.RandomState(0)
+    cases = [  # (B,H,W,G,cg_in,cg_out,k,stride,pad)
+        (2, 10, 12, 32, 8, 8, 3, 1, 1),    # stage-1 shape family
+        (1, 9, 9, 4, 16, 16, 3, 2, 1),     # strided
+        (2, 8, 8, 8, 4, 6, 1, 1, 0),       # 1x1, cg_out != cg_in
+    ]
+    for (B, H, W, G, cgi, cgo, k, s, p) in cases:
+        x = jnp.asarray(rng.randn(B, H, W, G * cgi).astype(np.float32))
+        w = jnp.asarray(
+            rng.randn(k, k, cgi, G * cgo).astype(np.float32))
+        ref = _conv(x, w, s, p, G)
+        got = _grouped_conv_einsum(x, w, s, p, G)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-5)
+    # the mode toggle routes _conv through the rewrite
+    assert not det.GROUP_CONV_EINSUM
+    try:
+        group_conv_mode(True)
+        B, H, W, G, cgi, cgo = cases[0][:6]
+        x = jnp.asarray(rng.randn(B, H, W, G * cgi).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, cgi, G * cgo).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(_conv(x, w, 1, 1, G)),
+            np.asarray(_grouped_conv_einsum(x, w, 1, 1, G)), atol=0)
+    finally:
+        group_conv_mode(False)

@@ -95,7 +95,46 @@ class FrozenBN(nn.Module):
         return x * scale + bias
 
 
+# EXACT-math re-layout for the ResNeXt 32x8d grouped 3x3 convs
+# (CEILING.md §3b's one untried extractor lever). XLA lowers
+# feature_group_count=32 on TPU through a [B,H,W,G,Cg] grouped layout
+# that pads the per-group channel dim Cg (8/16/32/64 by stage) to the
+# 128-lane register tile — up to 16x HBM temp blow-up; B=8 fp32 OOMs a
+# 16G chip. The rewrite extracts 3x3 patches and runs one batched
+# einsum per conv with contraction K = 9*Cg (72..576, MXU-shaped) and
+# G as the batch dim, avoiding the grouped-conv layout entirely at the
+# cost of materializing the 9x patch tensor. Off by default; enable
+# with `group_conv_mode(True)` / `cli/extract_features --group_einsum`.
+# Measured verdict lives in the docstring of scripts/drive_group_conv.py.
+GROUP_CONV_EINSUM = False
+
+
+def group_conv_mode(enable: bool = True) -> None:
+    """Enable (or disable) the einsum lowering of grouped convs."""
+    global GROUP_CONV_EINSUM
+    GROUP_CONV_EINSUM = enable
+
+
+def _grouped_conv_einsum(x, kernel, stride, padding, groups):
+    """Grouped conv as im2col + per-group batched einsum (exact)."""
+    kh, kw, cg_in, cout = kernel.shape
+    cg_out = cout // groups
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (kh, kw), (stride, stride),
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b, h2, w2, _ = patches.shape
+    # patch channels are ordered (c_in, kh, kw) — input-channel major
+    p = patches.reshape(b, h2, w2, groups, cg_in, kh * kw)
+    kr = kernel.reshape(kh * kw, cg_in, groups, cg_out)
+    y = jnp.einsum("bhwgck,kcgd->bhwgd", p, kr,
+                   preferred_element_type=x.dtype)
+    return y.reshape(b, h2, w2, cout)
+
+
 def _conv(x, kernel, stride=1, padding=0, groups=1):
+    if groups > 1 and GROUP_CONV_EINSUM:
+        return _grouped_conv_einsum(x, kernel, stride, padding, groups)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
