@@ -92,6 +92,9 @@ def stage(name):
         fn()
         times[name] = time.time() - t0
         print(f"== {name}: {times[name]:.1f}s ==", flush=True)
+        # persist incrementally: an interrupted run still leaves a
+        # partial transcript for the docs table
+        (root / "times.json").write_text(json.dumps(times, indent=1))
     return deco
 
 
