@@ -75,7 +75,10 @@ N_ANSWERS = 3 if SMOKE else 3129
 root = Path(args.root)
 root.mkdir(parents=True, exist_ok=True)
 skip = set(s for s in args.skip.split(",") if s)
-times = {}
+# seed from a prior run so a --skip resume merges timings instead of
+# clobbering the stages it skipped (ADVICE r4)
+_times_path = root / "times.json"
+times = json.loads(_times_path.read_text()) if _times_path.exists() else {}
 rng = np.random.RandomState(0)
 
 print(f"devices: {jax.devices()}  root: {root}  "
