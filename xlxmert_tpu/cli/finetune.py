@@ -131,7 +131,14 @@ def run(task: str, argv=None):
         for i, batch in enumerate(loader):
             batch.pop("question_ids")
             batch.pop("n_valid")
-            state, metrics = step_fn(state, eng.place(batch), rng)
+            if cfg.update_freq > 1:
+                from xlxmert_tpu.tasks.finetune import should_update
+                state, metrics = step_fn(
+                    state, eng.place(batch), rng,
+                    jnp.asarray(should_update(i, steps_per_epoch,
+                                              cfg.update_freq)))
+            else:
+                state, metrics = step_fn(state, eng.place(batch), rng)
             if is_main and i % 50 == 0:
                 meter.update(float(np.asarray(metrics["loss"])))
         if jax.process_count() == 1:

@@ -18,8 +18,12 @@ The update is reproduced exactly, not approximated by optax.adamw:
   - weight decay is applied to the already-adam-updated param
     (p_new = (p - lr*adam)*(1 - lr*wd)), like the legacy class.
 
-Gradient accumulation (`--update_freq`, tasks/vqa.py:152-159) maps to
-optax.MultiSteps.
+Gradient accumulation (`--update_freq`, tasks/vqa.py:151-159) is NOT
+handled here: the reference sums raw grads across held batches, clips
+the SUM, and steps optimizer+scheduler only on update steps (step 0
+never updates; the epoch's last batch force-flushes) — optax.MultiSteps
+averages and has none of those edges, so the finetune engine implements
+it exactly in tasks/finetune.AccumTrainState instead.
 
 Trajectory parity vs a torch transcription of the reference update is
 pinned in tests/test_trainer_trajectory_parity.py.
@@ -155,11 +159,8 @@ def make_optimizer(
     weight_decay: float = 0.01,
     clip_grad_norm: Optional[float] = 1.0,
     adam_eps: float = 1e-6,
-    update_freq: int = 1,
     used_mask: Any = None,
 ) -> optax.GradientTransformation:
-    tx = reference_adamw(lr, total_steps, warmup_ratio, weight_decay,
-                         clip_grad_norm, eps=adam_eps, used_mask=used_mask)
-    if update_freq > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=update_freq)
-    return tx
+    return reference_adamw(lr, total_steps, warmup_ratio, weight_decay,
+                           clip_grad_norm, eps=adam_eps,
+                           used_mask=used_mask)

@@ -137,3 +137,98 @@ def _vjp_bwd(fast, res, g):
 
 
 fused_mha.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# BL(HD)-native fused MHA — no head transpose in HBM
+# ---------------------------------------------------------------------------
+#
+# Round-5 trace attribution of the int8 serving engine (scripts/
+# drive_serving_trace.py) showed ~30 us/sample (30% of device time at
+# B=256) spent on pure layout copies: XLA physically transposes
+# (B, L, H, D) <-> (B, H, L, D) around every "bhqk" attention einsum —
+# 3 copies in + 1 out x 34 attention sites. Every previous Pallas
+# attention experiment (fused_mha above, the fused-block kernel) took
+# (B, H, L, D) operands, so those HBM transposes sat OUTSIDE the kernel
+# in both arms of each comparison. This kernel instead consumes q/k/v in
+# the (B, L, H*D) layout the QKV projection produces and writes context
+# back in the same layout; the per-head column slicing happens in VMEM
+# where it costs lane shifts, not HBM round-trips.
+
+
+def _mha_blhd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                     n_heads: int, scale: float, acc_dtype):
+    """One batch block: q (BB, Lq, H*D), k/v (BB, Lk, H*D),
+    bias (BB, 1, Lk) additive or None, o (BB, Lq, H*D)."""
+    D = q_ref.shape[-1] // n_heads
+    bias = None
+    if bias_ref is not None:
+        bias = bias_ref[:, 0, :].astype(acc_dtype)  # (BB, Lk)
+    for h in range(n_heads):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[:, :, sl]  # (BB, Lq, D)
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (BB, Lq, Lk)
+        s = (s * scale).astype(acc_dtype)
+        if bias is not None:
+            s = s + bias[:, None, :]
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o_ref[:, :, sl] = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def mha_blhd(q, k, v, bias, n_heads: int, fast: bool = True,
+             block_b: int = 16):
+    """Fused attention over packed heads: q (B, Lq, H*D), k/v
+    (B, Lk, H*D), optional additive bias (B, 1, 1, Lk) (the serving
+    engine's _extend_mask shape) or (B, Lk). Returns (B, Lq, H*D) — the
+    same layout the out-projection consumes, so XLA inserts no
+    head-split transposes. Serving-path only (no vjp)."""
+    B, Lq, HD = q.shape
+    Lk = k.shape[1]
+    D = HD // n_heads
+    BB = min(block_b, B)
+    while B % BB:
+        BB //= 2
+    acc = q.dtype if fast else jnp.float32
+    in_specs = [
+        pl.BlockSpec((BB, Lq, HD), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BB, Lk, HD), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BB, Lk, HD), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        bias = bias.reshape(B, 1, Lk)
+        in_specs.append(pl.BlockSpec((BB, 1, Lk), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+        kern = functools.partial(_mha_blhd_kernel, n_heads=n_heads,
+                                 scale=float(1.0 / np.sqrt(D)),
+                                 acc_dtype=acc)
+    else:
+        def kern(q_ref, k_ref, v_ref, o_ref):
+            _mha_blhd_kernel(q_ref, k_ref, v_ref, None, o_ref,
+                             n_heads=n_heads,
+                             scale=float(1.0 / np.sqrt(D)), acc_dtype=acc)
+
+    interpret = jax.devices()[0].platform == "cpu"
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
+        grid=(B // BB,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BB, Lq, HD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * n_heads * Lq * Lk * D,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * n_heads * Lq * Lk),
+        interpret=interpret,
+    )(*args)

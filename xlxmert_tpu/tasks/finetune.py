@@ -27,6 +27,52 @@ from xlxmert_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from xlxmert_tpu.tasks.pretrain import TrainState
 
 
+def should_update(step_i: int, n_batches: int, update_freq: int) -> bool:
+    """The reference's update_freq gate, transcribed from vqa.py:151-159
+    (gqa.py:120-127 identical): with accumulation, step 0 NEVER updates —
+    the first update at step k covers k+1 batches — then every k-th step
+    updates, plus a forced flush on the last batch of the epoch."""
+    if update_freq <= 1:
+        return True
+    if step_i == 0:
+        return False
+    return step_i % update_freq == 0 or step_i == n_batches - 1
+
+
+class AccumTrainState(TrainState):
+    """TrainState + a raw gradient-SUM accumulator reproducing the
+    reference's update_freq semantics exactly (vqa.py:151-198):
+    `loss.backward()` SUMS grads across held batches (no averaging —
+    optax.MultiSteps averages, which changes the clip threshold's bite),
+    clip + AdamW + scheduler all advance only on update steps (clip is
+    applied to the accumulated sum), and grads reset to zero after each
+    update (`param.grad = None`, vqa.py:196-197)."""
+
+    acc: Any = None
+
+    def accumulate_or_apply(self, grads, do_update):
+        acc = jax.tree.map(jnp.add, self.acc, grads)
+
+        def apply(s):
+            updates, new_opt = s.tx.update(acc, s.opt_state, s.params)
+            return s.replace(
+                step=s.step + 1,
+                params=optax.apply_updates(s.params, updates),
+                opt_state=new_opt,
+                acc=jax.tree.map(jnp.zeros_like, acc))
+
+        def hold(s):
+            return s.replace(step=s.step + 1, acc=acc)
+
+        return jax.lax.cond(do_update, apply, hold, self)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params),
+                   acc=jax.tree.map(jnp.zeros_like, params), tx=tx)
+
+
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Mean binary CE with logits vs soft targets (torch BCEWithLogitsLoss
     default reduction='mean' — vqa.py:73). Deliberately NO
@@ -63,9 +109,13 @@ class FinetuneEngine:
         else:
             self.model = VQAModel(self.model_cfg, num_answers,
                                   dtype=self.compute_dtype)
+        # update_freq accumulation is implemented by AccumTrainState
+        # (reference-exact grad sums), NOT by optax.MultiSteps — the
+        # optimizer itself is always the plain reference chain.
+        self.update_freq = cfg.update_freq
         self.tx = make_optimizer(cfg.lr, total_steps, cfg.warmup_ratio,
                                  cfg.weight_decay, cfg.clip_grad_norm,
-                                 cfg.adam_eps, cfg.update_freq)
+                                 cfg.adam_eps)
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.mesh_shape, cfg.mesh_axis_names)
         self._train_step = None
@@ -92,7 +142,8 @@ class FinetuneEngine:
 
     def create_state(self, rng, params=None) -> TrainState:
         params = params if params is not None else self.init_params(rng)
-        return replicate(TrainState.create(params, self.tx), self.mesh)
+        cls = AccumTrainState if self.update_freq > 1 else TrainState
+        return replicate(cls.create(params, self.tx), self.mesh)
 
     def load_pretrained(self, params, pretrain_params, label2ans=None,
                         answer_table=None):
@@ -133,14 +184,27 @@ class FinetuneEngine:
             acc_pred = jnp.argmax(logits, axis=-1)
             return loss, acc_pred
 
-        def step(state: TrainState, batch, rng):
-            rng = jax.random.fold_in(rng, state.step)
-            (loss, pred), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, batch, rng)
-            new_state = state.apply_gradients(grads)
-            metrics = {"loss": loss, "pred": pred,
-                       "grad_norm": optax.global_norm(grads)}
-            return new_state, metrics
+        if self.update_freq > 1:
+            # (state, batch, rng, do_update): accumulate raw grad sums,
+            # step the optimizer only when the host-side should_update
+            # gate (vqa.py:151-159) fires.
+            def step(state: AccumTrainState, batch, rng, do_update):
+                rng = jax.random.fold_in(rng, state.step)
+                (loss, pred), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, batch, rng)
+                new_state = state.accumulate_or_apply(grads, do_update)
+                metrics = {"loss": loss, "pred": pred,
+                           "grad_norm": optax.global_norm(grads)}
+                return new_state, metrics
+        else:
+            def step(state: TrainState, batch, rng):
+                rng = jax.random.fold_in(rng, state.step)
+                (loss, pred), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, batch, rng)
+                new_state = state.apply_gradients(grads)
+                metrics = {"loss": loss, "pred": pred,
+                           "grad_norm": optax.global_norm(grads)}
+                return new_state, metrics
 
         self._train_step = jax.jit(step, donate_argnums=(0,))
         return self._train_step

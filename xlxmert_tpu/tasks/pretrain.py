@@ -255,11 +255,14 @@ class PretrainEngine:
         self.compute_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
         self.model = XLxmert(self.model_cfg, dtype=self.compute_dtype,
                              task_qa=cfg.task_qa)
+        # NOTE no update_freq here: the reference pretrain trainer never
+        # accumulates (--update_freq is consumed only by the finetune
+        # Trainers, vqa.py:151-159 / gqa.py:120-127 / nlvr2.py:176-179 —
+        # lxmert_pretrain.py has no such gate), so neither do we.
         self._opt_kwargs = dict(
             lr=cfg.lr, total_steps=total_steps,
             warmup_ratio=cfg.warmup_ratio, weight_decay=cfg.weight_decay,
-            clip_grad_norm=cfg.clip_grad_norm, adam_eps=cfg.adam_eps,
-            update_freq=cfg.update_freq)
+            clip_grad_norm=cfg.clip_grad_norm, adam_eps=cfg.adam_eps)
         self.tx = make_optimizer(**self._opt_kwargs)
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.mesh_shape, cfg.mesh_axis_names)
