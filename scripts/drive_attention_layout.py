@@ -31,10 +31,75 @@ parser.add_argument("--batch", type=int, default=256)
 parser.add_argument("--scan_k", type=int, default=20)
 parser.add_argument("--repeats", type=int, default=3)
 parser.add_argument("--variants", default="base,bqhk,pallas16,pallas8")
+parser.add_argument("--bf16", action="store_true",
+                    help="measure the bf16 flax-model path instead: "
+                         "serving_mode attention xla vs pallas_blhd")
+parser.add_argument("--text_len", type=int, default=20,
+                    help="question length (bucketed-serving shapes)")
 args = parser.parse_args()
 
 
+def main_bf16():
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.core.config import LxmertConfig
+    from xlxmert_tpu.models.lxmert import (LxmertModel, VisualAnswerHead,
+                                           serving_mode)
+    from xlxmert_tpu.utils.boxes import box_position
+
+    cfg = LxmertConfig()
+    B, L, V = args.batch, args.text_len, 64
+    K = args.scan_k
+    serving_mode(True)
+    model = LxmertModel(cfg, dtype=jnp.bfloat16)
+    head = VisualAnswerHead(cfg, num_labels=3129, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.ones((B, L), jnp.int32)
+    mask = jnp.ones((B, L), jnp.float32)
+    feats = jax.random.normal(rng, (B, V, cfg.visual_feat_dim),
+                              jnp.bfloat16) * 0.1
+    pos = jnp.broadcast_to(jnp.asarray(box_position(8))[None],
+                           (B, V, 4)).astype(jnp.bfloat16)
+    t0 = time.time()
+    params = jax.jit(lambda r: model.init(
+        r, ids, feats, pos, attention_mask=mask)["params"])(rng)
+    head_params = head.init(rng, jnp.zeros((B, cfg.hidden_size)))["params"]
+    bf16_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    bf16_head = jax.tree.map(lambda x: x.astype(jnp.bfloat16), head_params)
+    print(f"init {time.time()-t0:.0f}s", flush=True)
+    stacked = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(1), (K, B, V, cfg.visual_feat_dim),
+        jnp.bfloat16) * 0.1)()
+
+    for attn in ("xla", "pallas_blhd"):
+        serving_mode(True, attention=attn)
+
+        @jax.jit
+        def run(ids, pos, mask, stacked, seed):
+            def body(carry, f):
+                _, _, pooled = model.apply(
+                    {"params": bf16_params}, ids, f + carry * 1e-6, pos,
+                    attention_mask=mask, deterministic=True)
+                logits = head.apply({"params": bf16_head}, pooled)
+                return carry + logits.mean().astype(jnp.bfloat16), ()
+            c, _ = jax.lax.scan(body, seed, stacked)
+            return c
+
+        float(run(ids, pos, mask, stacked, jnp.bfloat16(0.0)))
+        best = 0.0
+        for r in range(args.repeats):
+            t0 = time.time()
+            float(run(ids, pos, mask, stacked, jnp.bfloat16(r + 1.0)))
+            best = max(best, B * K / (time.time() - t0))
+        print(f"[bf16/{attn}] {best:.0f} q/s (best of {args.repeats}, "
+              f"K={K}, B={B}, L={L})", flush=True)
+    serving_mode(True)
+
+
 def main():
+    if args.bf16:
+        return main_bf16()
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +112,7 @@ def main():
 
     serving_mode(True)
     cfg = LxmertConfig()
-    B, L, V = args.batch, 20, 64
+    B, L, V = args.batch, args.text_len, 64
     K = args.scan_k
 
     model = LxmertModel(cfg, dtype=jnp.bfloat16)
@@ -99,11 +164,24 @@ def main():
                             block_b=block)
         return core
 
+    dispatcher = engine._attention_core
+
+    def core_einsum(q, k, v, bias, n_heads):
+        # the engine dispatcher defaults to the Pallas kernel on TPU
+        # since round 5; force its einsum branch for the baseline
+        prev = engine._ATTENTION_IMPL
+        engine._ATTENTION_IMPL = "einsum"
+        try:
+            return dispatcher(q, k, v, bias, n_heads)
+        finally:
+            engine._ATTENTION_IMPL = prev
+
     variants = {
-        "base": engine._attention_core,
+        "base": core_einsum,
         "bqhk": core_bqhk,
         "pallas16": core_pallas(16),
         "pallas8": core_pallas(8),
+        "pallas32": core_pallas(32),
     }
 
     stacked = jax.jit(lambda: jax.random.normal(

@@ -138,3 +138,38 @@ def test_int8_engine_pallas_blhd_core_agrees():
         atol=0.05, rtol=0.05)  # bf16 softmax-order noise only
     # masked keys contributed nothing in both paths
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_serving_mode_pallas_blhd_model_parity():
+    """Full backbone with attention='pallas_blhd' (round-5 layout-native
+    kernel) vs exact mode, interpret on CPU."""
+    cfg = LxmertConfig(
+        vocab_size=100, hidden_size=32, num_attention_heads=4,
+        intermediate_size=64, l_layers=1, x_layers=1, r_layers=1,
+        visual_feat_dim=16, num_clusters=10)
+    model = L.LxmertModel(cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(4)
+    B, T, V = 2, 8, 9
+    ids = jnp.asarray(rng.randint(1, 100, (B, T)).astype(np.int32))
+    mask = np.ones((B, T), np.float32)
+    mask[0, T - 3:] = 0.0
+    mask = jnp.asarray(mask)
+    feats = jnp.asarray(rng.randn(B, V, 16).astype(np.float32))
+    pos = jnp.asarray(rng.rand(B, V, 4).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos,
+                        attention_mask=mask)["params"]
+    try:
+        L.serving_mode(False)
+        lang0, _, pooled0 = model.apply({"params": params}, ids, feats, pos,
+                                        attention_mask=mask,
+                                        deterministic=True)
+        L.serving_mode(True, attention="pallas_blhd")
+        lang1, _, pooled1 = model.apply({"params": params}, ids, feats, pos,
+                                        attention_mask=mask,
+                                        deterministic=True)
+    finally:
+        L.serving_mode(False)
+    np.testing.assert_allclose(np.asarray(pooled0), np.asarray(pooled1),
+                               atol=5e-3, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(lang0), np.asarray(lang1),
+                               atol=5e-3, rtol=5e-3)

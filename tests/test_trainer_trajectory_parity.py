@@ -401,3 +401,105 @@ def test_trainer_trajectory_parity():
         assert int(cj_) == int(ct.flatten()[0]), (
             f"step-count mismatch at {jax.tree_util.keystr(pj)}: "
             f"ours {int(cj_)} vs torch {int(ct.flatten()[0])}")
+
+
+def test_trainer_trajectory_parity_across_warmup_boundary():
+    """Long-horizon variant (VERDICT r4 #9): 12 steps = 4 full
+    round-robins over (vis_mask, word_mask, matched), with the LR
+    schedule's warmup->decay kink INSIDE the pinned window (warmup = 4 of
+    16 total): optimizer steps 0-3 ride the warmup ramp, 4-11 the decay.
+    Pins schedule indexing at the kink plus task-interleave state over
+    multiple cycles; the per-leaf step-count check pins the used-mask
+    round-robin integer-exactly at 3x the short test's horizon."""
+    TOT2, WRATIO2, NS2 = 16, 0.25, 12  # warmup = int(16*0.25) = 4
+    hf_cfg = transformers.LxmertConfig(
+        vocab_size=CFG_KW["vocab_size"], hidden_size=CFG_KW["hidden_size"],
+        num_attention_heads=CFG_KW["num_attention_heads"],
+        intermediate_size=CFG_KW["intermediate_size"],
+        l_layers=CFG_KW["l_layers"], x_layers=CFG_KW["x_layers"],
+        r_layers=CFG_KW["r_layers"], visual_feat_dim=FEAT_DIM,
+        visual_pos_dim=4, num_qa_labels=CFG_KW["num_qa_labels"],
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    centroids = (np.random.RandomState(21)
+                 .randn(N_CLUSTERS, FEAT_DIM).astype(np.float32) * 0.5)
+    torch.manual_seed(14)
+    tmodel = RefPretrainModel(hf_cfg, centroids)
+    tmodel.train()
+
+    tcfg = TrainConfig(
+        batch_size=B, max_text_length=L, grid_size=G, feat_dim=FEAT_DIM,
+        num_clusters=N_CLUSTERS, clustering=True, mixed_precision=False,
+        lr=LR, warmup_ratio=WRATIO2, weight_decay=WD,
+        clip_grad_norm=CLIP, adam_eps=EPS, task_qa=False)
+    mcfg = LxmertConfig(**CFG_KW)
+    eng = PretrainEngine(tcfg, model_cfg=mcfg, total_steps=TOT2)
+
+    sd = {k: v for k, v in tmodel.state_dict().items() if k != "centroids"}
+    params = convert_torch_state_dict(sd)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    state = replicate(TrainState.create(params, eng.tx), eng.mesh)
+
+    warmup2 = max(int(TOT2 * WRATIO2), 1)
+
+    def mult2(step):
+        if step < warmup2:
+            return step / warmup2
+        return max(0.0, (TOT2 - step) / (TOT2 - warmup2))
+
+    batches = make_batches(NS2, seed=17)
+    cj = jnp.asarray(centroids)
+    rng = jax.random.PRNGKey(5)
+    opt = LegacyAdamW(tmodel.named_parameters(), WD)
+    t_losses, j_losses = [], []
+    for k in range(NS2):
+        task = eng.task_for_step(k)
+        for _, p in tmodel.named_parameters():
+            p.grad = None
+        loss = tmodel(task, batches[k])
+        loss.backward()
+        _clip(tmodel)
+        opt.step(LR * mult2(k))
+        t_losses.append(float(loss.detach()))
+        placed = eng.place(batches[k])
+        state, metrics = eng.train_step(task)(state, placed, rng, cj)
+        j_losses.append(float(np.asarray(metrics["total_loss"])))
+
+    np.testing.assert_allclose(j_losses[:2], t_losses[:2], rtol=2e-6)
+    # 12 steps of sign-saturated Adam: a wider chaos band than the
+    # 6-step test (same rationale); the atol floor covers the matched
+    # task's 2-way-CE losses (~0.5-1.0 near-tie values where ~2e-2
+    # absolute noise is 3-4% relative). Schedule/semantic drift is
+    # pinned by the param envelope + the kink assertion below.
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-2, atol=3e-2)
+    # the schedule actually kinked inside the window
+    assert mult2(warmup2 - 1) < 1.0 and mult2(warmup2) == 1.0
+    assert mult2(NS2 - 1) < mult2(warmup2)
+
+    final = jax.device_get(state.params)
+    tsd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+           if k != "centroids"}
+    tfinal = convert_torch_state_dict(tsd)
+    for (pj, lj), (pt, lt) in zip(
+            jax.tree_util.tree_leaves_with_path(final),
+            jax.tree_util.tree_leaves_with_path(tfinal)):
+        assert jax.tree_util.keystr(pj) == jax.tree_util.keystr(pt)
+        np.testing.assert_allclose(
+            np.asarray(lj), lt, atol=12 * LR, rtol=0.05,
+            err_msg=f"param drift at {jax.tree_util.keystr(pj)}")
+
+    # per-leaf step counts after 4 full round-robins: bert leaves 12,
+    # heads 4 each (torch autograd ground truth)
+    step_sd = {}
+    for name, p in tmodel.named_parameters():
+        if not p.requires_grad:
+            continue
+        n = opt.state.get(name, {}).get("step", 0)
+        step_sd[name] = torch.full_like(p, float(n))
+    t_counts = convert_torch_state_dict(step_sd)
+    j_counts = jax.device_get(state.opt_state.count)
+    for (pj, cj_), (pt, ct) in zip(
+            jax.tree_util.tree_leaves_with_path(j_counts),
+            jax.tree_util.tree_leaves_with_path(t_counts)):
+        assert int(cj_) == int(ct.flatten()[0]), (
+            f"step-count mismatch at {jax.tree_util.keystr(pj)}: "
+            f"ours {int(cj_)} vs torch {int(ct.flatten()[0])}")

@@ -108,6 +108,16 @@ class Attention(nn.Module):
 
         B, Lq, _ = q.shape
         Lk = k.shape[1]
+
+        if ATTENTION_IMPL == "pallas_blhd" and deterministic:
+            # round-5 layout-native kernel: consumes the packed (B,L,H*D)
+            # dense outputs directly, so XLA inserts no (B,L,H,D) <->
+            # (B,H,L,D) transpose copies (~30us/sample at B=256 in the
+            # int8 engine trace; the copies exist on this path too)
+            from xlxmert_tpu.ops.attention import mha_blhd
+
+            return mha_blhd(q, k, v, attention_bias, H, FAST_SOFTMAX)
+
         q = q.reshape(B, Lq, H, D)
         k = k.reshape(B, Lk, H, D)
         v = v.reshape(B, Lk, H, D)
