@@ -5,7 +5,14 @@ throughput targets plus roofline context:
    "vs_baseline": ...,
    "extra": {"serving_path", "model_tflops", "mfu_vs_int8_peak",
              "sampling_samples_per_sec", "sampling_vs_baseline",
-             "bf16_queries_per_sec"}}
+             "bf16_queries_per_sec", "bucketed_mix_qps" (+ assumed-mix
+             envelope: floor/ceiling/per-bucket), "ar_samples_per_sec",
+             "gan_imgs_per_sec", "kmeans_rows_per_sec",
+             "extract_imgs_per_sec", "pretrain_examples_per_sec"}}
+
+Every headline README/BASELINE row is driver-captured here (VERDICT r4
+#5): serving (int8/bf16/bucketed), NAR sampling, AR decode, pretrain
+step, GAN (D,G) pairs, and the offline factory (k-means + extraction).
 
 Config #1 (primary): batched VQA inference from pre-extracted 8x8 grid
 features — served through the static-calibrated int8 engine
@@ -231,7 +238,7 @@ def measure_vqa(cfg, Bs=(256, 512), verbose=False):
     qps = qps_int8
     if qps_bf16 > qps_int8:  # safety: never report a regression path
         qps, path = qps_bf16, "bf16"
-    return qps, qps_bf16, path, bucketed
+    return qps, qps_bf16, path, bucketed, bucket
 
 
 def measure_sampling(cfg):
@@ -348,6 +355,45 @@ def measure_sampling(cfg):
     sps_i8 = timed(run_i8, (ssp, centroids, g_params, g_sn, ids, mask))
     sps_bf16 = timed(run, (params, centroids, g_params, g_sn, ids, mask))
 
+    # AR decode rate (confidence strategy, full head — the reference
+    # default, imggen_model.py:49-167), decode only, int8 engine. Reuses
+    # this function's calibrated ssp; CEILING.md §2b headline (~175/s).
+    from xlxmert_tpu.serving.sampling_int8 import make_ar_sampler_int8
+
+    ar_fn = make_ar_sampler_int8(cfg, grid_size=GRID,
+                                 strategy="confidence")
+    ar_raw = getattr(ar_fn, "__wrapped__", ar_fn)
+
+    @jax.jit
+    def run_ar(ssp, centroids, ids, mask, ks, seed):
+        def body(carry, _):
+            out = ar_raw(ssp, centroids + carry * 1e-6, ids, mask)
+            cl = out[1]
+            return carry + cl.mean().astype(jnp.float32), ()
+
+        c, _ = jax.lax.scan(body, seed, ks)
+        return c
+
+    def timed_ar():
+        def t(k, reps=3):
+            ks = jnp.zeros((k, 1))
+            float(run_ar(ssp, centroids, ids, mask, ks, jnp.float32(0)))
+            best = float("inf")
+            for r in range(reps):
+                t0 = time.time()
+                float(run_ar(ssp, centroids, ids, mask, ks,
+                             jnp.float32(r)))
+                best = min(best, time.time() - t0)
+            return best
+
+        per_iter = (t(5) - t(1)) / 4
+        return B / per_iter
+
+    try:
+        ar_sps = timed_ar()
+    except Exception as e:
+        ar_sps = {"error": _err_str(e)}
+
     # fast-render variant (models/gan.render_mode cap=32): SPADE
     # modulation computed at 32x32 and upsampled — measured mean pixel
     # deviation 2.15e-3, under the 8-bit PNG quantum (7.9e-3); -22%
@@ -367,7 +413,107 @@ def measure_sampling(cfg):
     sps = sps_i8
     if sps_bf16 > sps_i8:  # safety: never report a regression path
         sps, path = sps_bf16, "bf16"
-    return sps, sps_bf16, path, sps_fast
+    return sps, sps_bf16, path, sps_fast, ar_sps
+
+
+def measure_gan():
+    """Full (D,G) training pairs at 256px, B=32 — the GAN trainer
+    headline (README: 156 imgs/s/chip). K pairs chained in one jit
+    (GanEngine.chained_gd_step, equality-pinned vs sequential in
+    tests/test_gan_trainer.py); matches train_generator.bash semantics
+    (hinge + ACGAN + perceptual + featmatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.core.config import GanConfig
+    from xlxmert_tpu.tasks.train_generator import GanEngine
+
+    GRID, EMB, B, K = 8, 2048, 32, 4
+    r = np.random.RandomState(0)
+    n_classes = 10000
+    centroids = jnp.asarray((r.randn(n_classes, EMB) * 0.2)
+                            .astype(np.float32))
+    ids = r.randint(0, n_classes, (B, GRID * GRID)).astype(np.int32)
+    codes = np.asarray(centroids)[ids].reshape(B, GRID, GRID, EMB)
+    images = (r.rand(B, 256, 256, 3).astype(np.float32) * 2.0 - 1.0)
+
+    cfg = GanConfig(emb_dim=EMB, init_H=GRID, init_W=GRID,
+                    target_size=256, n_classes=n_classes, batch_size=B,
+                    mixed_precision=True)
+    eng = GanEngine(cfg)
+    state = eng.create_state(jax.random.PRNGKey(0), centroids)
+    batch = eng.place({"image": images, "code": codes, "cluster_id": ids})
+    key = jax.random.PRNGKey(1)
+    fn = eng.chained_gd_step(K)
+    state, dl, gl = fn(state, batch, centroids, key)  # compile + warm
+    float(np.asarray(dl))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        state, dl, gl = fn(state, batch, centroids, key)
+        float(np.asarray(dl))
+        best = min(best, time.time() - t0)
+    return B / (best / K)
+
+
+def measure_factory():
+    """Offline-factory rates (CEILING.md §3b): one k-means Lloyd
+    iteration at production K=10k/D=2048 (rows/s — assignment matmul
+    dominates, rate extrapolates linearly to the 2.56M-row build) and
+    X-152-FPN grid extraction at the reference canvas (800x1344, bf16
+    B=8 — the measured-best config; the reference loops batch=1 through
+    a CUDA detector, coco_extract_grid_feature.py:236-260)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlxmert_tpu.models.detectron import (DetectronConfig,
+                                              DetectronGridExtractor)
+    from xlxmert_tpu.vocab.kmeans import lloyd_step_chunked
+
+    out = {}
+    N, Kc, D, chunk = 131072, 10000, 2048, 65536
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.float32)
+    w = jnp.ones((N,), jnp.float32)
+    cents = x[:Kc] + 0.0
+    cents, inertia = lloyd_step_chunked(x, w, cents, Kc, chunk)
+    float(np.asarray(inertia))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        cents, inertia = lloyd_step_chunked(x, w, cents, Kc, chunk)
+        float(np.asarray(inertia))
+        best = min(best, time.time() - t0)
+    out["kmeans_rows_per_sec"] = round(N / best, 0)
+
+    B, H, W, K = 8, 800, 1344, 4
+    model = DetectronGridExtractor(DetectronConfig(), grid_size=8,
+                                   dtype=jnp.bfloat16)
+    images = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3),
+                               jnp.float32) * 50.0
+    sizes = jnp.tile(jnp.asarray([[800, 1333]], jnp.int32), (B, 1))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images,
+                                 sizes)["params"]
+
+    @jax.jit
+    def chain(params, images, sizes):
+        def body(imgs, _):
+            feats = model.apply({"params": params}, imgs, sizes)
+            return imgs + feats.mean().astype(imgs.dtype) * 1e-4, \
+                feats.mean()
+
+        _, means = jax.lax.scan(body, images, None, length=K)
+        return means
+
+    m = chain(params, images, sizes)
+    float(np.asarray(m)[-1])  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        m = chain(params, images, sizes)
+        float(np.asarray(m)[-1])
+        best = min(best, time.time() - t0)
+    out["extract_imgs_per_sec"] = round(K * B / best, 1)
+    return out
 
 
 def measure_pretrain(cfg):
@@ -443,11 +589,21 @@ def main():
         return
 
     try:
-        qps, qps_bf16, path, bucketed = measure_vqa(cfg)
+        qps, qps_bf16, path, bucketed, bucket = measure_vqa(cfg)
         fps = flops_per_sample(cfg)
         extra.update({
             "serving_path": path,
             "bucketed_mix_qps": round(bucketed, 1),
+            # Mix-sensitivity envelope (VERDICT r4 #6): the 35/45/15/5
+            # length mix is ASSUMED (serving/lxmert_int8.VQA_LENGTH_MIX,
+            # basis in docs/CEILING.md §1 lever 3); the envelope is what
+            # the stream rate would be at the measured extremes.
+            "bucketed_mix_assumed": True,
+            "bucketed_mix_floor_qps": round(bucket.get(20, 0.0), 1),
+            "bucketed_mix_ceiling_qps": round(
+                bucket.get(8, 0.0), 1),
+            "bucket_qps": {str(Lb): round(v, 1)
+                           for Lb, v in sorted(bucket.items())},
             "bf16_queries_per_sec": round(qps_bf16, 1),
             "model_tflops": round(qps * fps / 1e12, 1),
             "mfu_vs_int8_peak": round(qps * fps / V5E_INT8_PEAK_TOPS, 3),
@@ -458,7 +614,8 @@ def main():
         errors["vqa"] = _err_str(e)
 
     try:
-        samples_per_sec, sps_bf16, s_path, sps_fast = measure_sampling(cfg)
+        (samples_per_sec, sps_bf16, s_path, sps_fast,
+         ar_sps) = measure_sampling(cfg)
         extra.update({
             "sampling_samples_per_sec": round(samples_per_sec, 1),
             "sampling_path": s_path,
@@ -467,6 +624,10 @@ def main():
             "sampling_vs_baseline": round(
                 samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3),
         })
+        if isinstance(ar_sps, dict):
+            errors["ar"] = ar_sps["error"]
+        else:
+            extra["ar_samples_per_sec"] = round(ar_sps, 1)
     except Exception as e:
         errors["sampling"] = _err_str(e)
 
@@ -474,6 +635,16 @@ def main():
         extra["pretrain_examples_per_sec"] = round(measure_pretrain(cfg), 1)
     except Exception as e:
         errors["pretrain"] = _err_str(e)
+
+    try:
+        extra["gan_imgs_per_sec"] = round(measure_gan(), 1)
+    except Exception as e:
+        errors["gan"] = _err_str(e)
+
+    try:
+        extra.update(measure_factory())
+    except Exception as e:
+        errors["factory"] = _err_str(e)
 
     if errors:
         extra["errors"] = errors

@@ -32,9 +32,68 @@ def make_global_batch(step, B, L, V, vocab, n_clusters):
     }
 
 
+def predict_mode(pid, nproc, out_path):
+    """Multi-host sharded predict + merge (VERDICT r4 #7): each process
+    predicts over ITS round-robin slice of the eval batches through
+    FinetuneEngine.predict's per-process path (process-local jit over
+    re-placed replicated params), shards merge via shard_dir, and the
+    merged dict must equal a single-process predict over the full
+    stream — the reference's DDP eval contract (vqa.py:259-295:
+    per-rank DistributedSampler loader + merge for scoring)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from xlxmert_tpu.core.config import FinetuneConfig, LxmertConfig
+    from xlxmert_tpu.tasks.finetune import FinetuneEngine
+
+    tiny = LxmertConfig(
+        vocab_size=120, hidden_size=32, num_attention_heads=4,
+        intermediate_size=64, l_layers=1, x_layers=1, r_layers=1,
+        visual_feat_dim=16, num_qa_labels=5)
+    cfg = FinetuneConfig(task="vqa", batch_size=4, grid_size=4,
+                         max_text_length=10, mixed_precision=False)
+    eng = FinetuneEngine(cfg, num_answers=5, model_cfg=tiny,
+                         total_steps=10)
+    state = eng.create_state(jax.random.PRNGKey(0))
+    label2ans = [f"ans{i}" for i in range(5)]
+
+    def make_batches():
+        B, L, V = 4, cfg.max_text_length, cfg.n_grids
+        out = []
+        for s in range(5):  # 5 batches: uneven across 2 processes
+            r = np.random.RandomState(300 + s)
+            out.append({
+                "word_ids": r.randint(1, 120, (B, L)).astype(np.int32),
+                "vis_feats": r.randn(B, V, 16).astype(np.float32),
+                "boxes": r.rand(B, V, 4).astype(np.float32),
+                "question_ids": [1000 * s + i for i in range(B)],
+                "n_valid": B,
+            })
+        return out
+
+    shard_dir = os.path.join(os.path.dirname(out_path), "shards")
+    if nproc > 1:
+        mine = [b for i, b in enumerate(make_batches())
+                if i % nproc == pid]
+        quesid2ans = eng.predict(state.params, mine, label2ans,
+                                 shard_dir=shard_dir)
+    else:
+        quesid2ans = eng.predict(state.params, make_batches(), label2ans)
+
+    if pid == 0:
+        with open(out_path, "w") as f:
+            json.dump({"quesid2ans": {str(k): v
+                                      for k, v in quesid2ans.items()},
+                       "n": len(quesid2ans),
+                       "process_count": int(jax.process_count())}, f)
+
+
 def main():
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, out_path = sys.argv[3], sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "pretrain"
     local_devices = 4 // nproc  # 4 global CPU devices regardless of nproc
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}")
@@ -49,6 +108,9 @@ def main():
                                    num_processes=nproc, process_id=pid)
         assert jax.process_count() == nproc, jax.process_count()
     assert len(jax.devices()) == 4
+
+    if mode == "predict":
+        return predict_mode(pid, nproc, out_path)
 
     import numpy as np
 

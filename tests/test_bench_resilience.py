@@ -31,21 +31,30 @@ def test_bench_emits_json_when_every_stage_dies(monkeypatch):
     monkeypatch.setattr(bench, "measure_vqa", boom)
     monkeypatch.setattr(bench, "measure_sampling", boom)
     monkeypatch.setattr(bench, "measure_pretrain", boom)
+    monkeypatch.setattr(bench, "measure_gan", boom)
+    monkeypatch.setattr(bench, "measure_factory", boom)
     rec = _run_main()
     assert rec["metric"] == "vqa_queries_per_sec_per_chip"
     assert rec["value"] == 0.0
     assert rec["vs_baseline"] == 0.0
     errs = rec["extra"]["errors"]
-    assert set(errs) == {"vqa", "sampling", "pretrain"}
+    assert set(errs) == {"vqa", "sampling", "pretrain", "gan", "factory"}
     assert "Unable to initialize backend" in errs["vqa"]
 
 
 def test_bench_partial_results_survive_one_stage_failure(monkeypatch):
-    monkeypatch.setattr(bench, "measure_vqa",
-                        lambda cfg: (8000.0, 7000.0, "int8_static",
-                                     8800.0))
-    monkeypatch.setattr(bench, "measure_sampling",
-                        lambda cfg: (900.0, 800.0, "int8_static", 1000.0))
+    monkeypatch.setattr(
+        bench, "measure_vqa",
+        lambda cfg: (8000.0, 7000.0, "int8_static", 8800.0,
+                     {8: 9000.0, 12: 8700.0, 16: 8400.0, 20: 8000.0}))
+    monkeypatch.setattr(
+        bench, "measure_sampling",
+        lambda cfg: (900.0, 800.0, "int8_static", 1000.0, 170.0))
+    monkeypatch.setattr(bench, "measure_gan", lambda: 150.0)
+    monkeypatch.setattr(
+        bench, "measure_factory",
+        lambda: {"kmeans_rows_per_sec": 1.8e6,
+                 "extract_imgs_per_sec": 21.0})
 
     def boom(cfg):
         raise RuntimeError("mid-run tunnel drop")
@@ -56,3 +65,31 @@ def test_bench_partial_results_survive_one_stage_failure(monkeypatch):
     assert rec["extra"]["sampling_samples_per_sec"] == 900.0
     assert list(rec["extra"]["errors"]) == ["pretrain"]
     assert "pretrain_examples_per_sec" not in rec["extra"]
+    # round-5 driver-captured rows (VERDICT r4 #5) + mix envelope (#6)
+    assert rec["extra"]["ar_samples_per_sec"] == 170.0
+    assert rec["extra"]["gan_imgs_per_sec"] == 150.0
+    assert rec["extra"]["kmeans_rows_per_sec"] == 1.8e6
+    assert rec["extra"]["extract_imgs_per_sec"] == 21.0
+    assert rec["extra"]["bucketed_mix_assumed"] is True
+    assert rec["extra"]["bucketed_mix_floor_qps"] == 8000.0
+    assert rec["extra"]["bucketed_mix_ceiling_qps"] == 9000.0
+    assert rec["extra"]["bucket_qps"]["12"] == 8700.0
+
+
+def test_bench_ar_error_is_fenced_separately(monkeypatch):
+    """An AR failure inside measure_sampling must not sink the NAR
+    numbers (the dict-error contract on the 5th return slot)."""
+    monkeypatch.setattr(
+        bench, "measure_vqa",
+        lambda cfg: (8000.0, 7000.0, "int8_static", 8800.0, {20: 8000.0}))
+    monkeypatch.setattr(
+        bench, "measure_sampling",
+        lambda cfg: (900.0, 800.0, "int8_static", 1000.0,
+                     {"error": "RuntimeError: ar compile died"}))
+    monkeypatch.setattr(bench, "measure_pretrain", lambda cfg: 1500.0)
+    monkeypatch.setattr(bench, "measure_gan", lambda: 150.0)
+    monkeypatch.setattr(bench, "measure_factory", lambda: {})
+    rec = _run_main()
+    assert rec["extra"]["sampling_samples_per_sec"] == 900.0
+    assert "ar_samples_per_sec" not in rec["extra"]
+    assert "ar compile died" in rec["extra"]["errors"]["ar"]

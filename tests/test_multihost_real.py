@@ -38,10 +38,10 @@ def _env():
     return env
 
 
-def _run(procs, port, out):
+def _run(procs, port, out, mode="pretrain"):
     ps = [subprocess.Popen(
         [sys.executable, str(WORKER), str(pid), str(procs), str(port),
-         str(out)],
+         str(out), mode],
         env=_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in range(procs)]
     outs = []
@@ -70,3 +70,21 @@ def test_two_process_trajectory_equals_single_process(tmp_path):
     # only the reduction grouping differs across process layouts
     np.testing.assert_allclose(two["losses"], ref["losses"],
                                rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_two_process_predict_merge_equals_single_process(tmp_path):
+    """Multi-host evaluate/predict (VERDICT r4 #7): 2 processes each
+    predict their round-robin slice of 5 eval batches (uneven: 3 vs 2 —
+    prediction is process-local, shards need not be equal) and merge via
+    shard files; the merged quesid->ans must equal a single-process
+    predict over the full stream. This replaces the old
+    NotImplementedError — the reference's DDP-eval equivalent
+    (vqa.py:259-295)."""
+    ref = _run(1, _free_port(), tmp_path / "ref.json", mode="predict")
+    assert ref["process_count"] == 1
+    assert ref["n"] == 20  # 5 batches x B=4
+    two = _run(2, _free_port(), tmp_path / "two.json", mode="predict")
+    assert two["process_count"] == 2
+    assert two["n"] == 20
+    assert two["quesid2ans"] == ref["quesid2ans"]

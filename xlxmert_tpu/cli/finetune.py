@@ -103,8 +103,20 @@ def run(task: str, argv=None):
 
     def evaluate(params, dump_path=None):
         batches = eval_ds.batches(cfg.batch_size, test=test_mode)
-        quesid2ans = eng.predict(params, batches, label2ans,
-                                 int8=cfg.serve_int8)
+        if jax.process_count() > 1:
+            # per-process DDP-eval equivalent (vqa.py:259-295): each
+            # process predicts its round-robin slice of the batch
+            # stream; FinetuneEngine.predict merges the shard dumps
+            # through shard_dir so every process returns the full dict
+            pid, nproc = jax.process_index(), jax.process_count()
+            batches = (b for i, b in enumerate(batches)
+                       if i % nproc == pid)
+            quesid2ans = eng.predict(
+                params, batches, label2ans, int8=cfg.serve_int8,
+                shard_dir=str(Path(cfg.output) / "eval_shards"))
+        else:
+            quesid2ans = eng.predict(params, batches, label2ans,
+                                     int8=cfg.serve_int8)
         if dump_path:
             eval_ds.evaluator.dump_result(quesid2ans, dump_path)
             logger.info(f"dumped predictions to {dump_path}")
@@ -141,18 +153,10 @@ def run(task: str, argv=None):
                 state, metrics = step_fn(state, eng.place(batch), rng)
             if is_main and i % 50 == 0:
                 meter.update(float(np.asarray(metrics["loss"])))
-        if jax.process_count() == 1:
-            score = evaluate(state.params)
-        else:
-            # per-epoch eval needs whole-array prediction fetches, which
-            # a multi-host mesh cannot serve (tasks/finetune.predict
-            # raises); train through, keep LAST, evaluate the saved
-            # checkpoint in a single-process run afterwards
-            score = float("-inf")
-            if epoch == 0:
-                logger.info("multi-host run: skipping per-epoch eval "
-                            "(evaluate LAST.msgpack single-process); "
-                            "BEST tracking disabled")
+        # single- AND multi-process: evaluate() shards the batch stream
+        # per process and merges shard dumps (tasks/finetune.predict
+        # multi-host path), so BEST tracking works in both worlds
+        score = evaluate(state.params)
         logger.info(f"epoch {epoch}: valid {score:.4f} loss {meter.val:.4f} "
                     f"({time.time() - t0:.0f}s)")
         logger.scalars((epoch + 1) * steps_per_epoch,

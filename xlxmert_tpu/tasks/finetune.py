@@ -228,7 +228,7 @@ class FinetuneEngine:
     def place(self, batch):
         return shard_batch(batch, self.mesh)
 
-    def _make_int8_predict(self, params, calib_batches):
+    def _make_int8_predict(self, params, calib_batches, place=None):
         """Build a jitted int8 predict step (serving/lxmert_int8.py),
         statically calibrated on `calib_batches` (a list — predict()
         accumulates the first few eval batches so the scales don't
@@ -276,8 +276,10 @@ class FinetuneEngine:
         step = jax.jit(lambda a, b, i, f, p, m: jnp.argmax(
             fwd(a, b, i, f, p, m), axis=-1))
 
+        place = place if place is not None else self.place
+
         def run(batch):
-            ids, feats, pos, mask = unpack(self.place(batch))
+            ids, feats, pos, mask = unpack(place(batch))
             return step(sqp, shqp, ids, feats, pos, mask)
 
         return run
@@ -285,22 +287,94 @@ class FinetuneEngine:
     # -- loops ----------------------------------------------------------------
     def predict(self, params, batches: Iterable[Dict[str, Any]],
                 label2ans=None, int8: bool = False,
-                calib_batches: int = 4) -> Dict[Any, Any]:
+                calib_batches: int = 4,
+                shard_dir: Optional[str] = None) -> Dict[Any, Any]:
         """Run prediction over host batches; returns quesid->answer
         (mapped through label2ans when given, else raw label ids).
         Mirrors Trainer.predict (vqa.py:259-295). int8=True serves
         through the static-calibrated int8 engine; activation scales are
         calibrated over the first `calib_batches` batches (held back,
         then served through the calibrated step) so a single first batch
-        cannot skew the scales for the whole dump."""
+        cannot skew the scales for the whole dump.
+
+        Multi-host (`jax.process_count() > 1`): the reference evaluates
+        under DDP with a per-rank loader and a rank-0 merge
+        (vqa.py:259-295 + the DistributedSampler contract); the rebuild's
+        equivalent is per-process sharded prediction + host-side merge.
+        `batches` must then be THIS process's shard of the eval stream
+        (e.g. every process_count-th batch — prediction is embarrassingly
+        parallel, so batch-level round-robin is fine and shards need not
+        be equal-length), and `shard_dir` a path visible to all hosts.
+        Each process re-places the (replicated) params on its own
+        devices and runs a process-LOCAL jit — no global collective is
+        involved until the final barrier — dumps its quesid->ans shard
+        to shard_dir, and after `sync_global_devices` every process
+        merges all shards, so scoring on any host sees the full dict."""
         if jax.process_count() > 1:
-            raise NotImplementedError(
-                "predict/evaluate is single-process: eval batches are "
-                "unsharded and predictions fetched whole, which a "
-                "multi-host global mesh cannot do (non-addressable "
-                "shards). Train multi-host, then evaluate the saved "
-                "checkpoint in a single-process run.")
-        step = None if int8 else self.predict_step()
+            if shard_dir is None:
+                raise ValueError(
+                    "multi-host predict needs shard_dir (a directory "
+                    "shared across hosts) for the shard merge; pass the "
+                    "run's output dir")
+            dev = jax.local_devices()[0]
+            # params are replicated on the global mesh -> every host
+            # holds a full copy; fetch once and pin process-locally so
+            # the predict jit never touches non-addressable shards
+            params = jax.device_put(jax.tree.map(np.asarray, params), dev)
+            local = self._predict_loop(
+                params, batches, label2ans, int8, calib_batches,
+                place=lambda b: jax.device_put(b, dev),
+                local_jit=True)
+            return self._merge_predict_shards(local, shard_dir)
+        return self._predict_loop(params, batches, label2ans, int8,
+                                  calib_batches, place=self.place)
+
+    def _merge_predict_shards(self, local: Dict[Any, Any],
+                              shard_dir: str) -> Dict[Any, Any]:
+        """Write this process's quesid->ans shard, barrier, merge all.
+        Dumped as [qid, ans] pairs (not a JSON object) so int question
+        ids round-trip without becoming strings."""
+        import json
+        from pathlib import Path
+
+        from jax.experimental import multihost_utils
+
+        p = Path(shard_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        pairs = [[k.item() if hasattr(k, "item") else k, v]
+                 for k, v in local.items()]
+        (p / f"predict_shard{jax.process_index()}.json").write_text(
+            json.dumps(pairs))
+        multihost_utils.sync_global_devices("xlxmert_predict_merge")
+        merged: Dict[Any, Any] = {}
+        for i in range(jax.process_count()):
+            f = p / f"predict_shard{i}.json"
+            for qid, ans in json.loads(f.read_text()):
+                merged[qid] = ans
+        return merged
+
+    def _predict_loop(self, params, batches, label2ans, int8,
+                      calib_batches, place, local_jit: bool = False):
+        if int8:
+            step = None
+        elif local_jit:
+            # process-local compile: same math as predict_step() but a
+            # fresh jit not bound to the cached (possibly global-mesh)
+            # executable
+            model = self.model
+
+            def _step(params, batch):
+                logits = model.apply(
+                    {"params": params}, batch["word_ids"],
+                    batch["vis_feats"], batch["boxes"],
+                    attention_mask=(batch["word_ids"] > 0)
+                    .astype(jnp.float32),
+                    deterministic=True)
+                return jnp.argmax(logits, axis=-1), logits
+
+            step = jax.jit(_step)
+        else:
+            step = self.predict_step()
         int8_step = None
         held: list = []
         quesid2ans: Dict[Any, Any] = {}
@@ -319,19 +393,19 @@ class FinetuneEngine:
                     if len(held) < calib_batches:
                         continue
                     int8_step = self._make_int8_predict(
-                        params, [b for _, _, b in held])
+                        params, [b for _, _, b in held], place=place)
                     for hq, hn, hb in held:
                         emit(hq, hn, np.asarray(int8_step(hb)))
                     held = []
                     continue
                 preds = np.asarray(int8_step(batch))
             else:
-                preds, _ = step(params, self.place(batch))
+                preds, _ = step(params, place(batch))
                 preds = np.asarray(preds)
             emit(qids, n_valid, preds)
         if held:  # stream shorter than the calibration window
             int8_step = self._make_int8_predict(
-                params, [b for _, _, b in held])
+                params, [b for _, _, b in held], place=place)
             for hq, hn, hb in held:
                 emit(hq, hn, np.asarray(int8_step(hb)))
         return quesid2ans
