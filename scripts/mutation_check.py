@@ -1,0 +1,214 @@
+"""Mutation-verify the parity suite (VERDICT r4 #4).
+
+The suite's purpose is to freeze reference semantics (lxmert_pretrain.py,
+vqa.py, modeling.py, lxmert_data.py, imggen_model.py). "219 green" only
+means something if the tests FAIL when those semantics drift. This
+harness applies one seeded source mutation at a time — each a realistic
+porting mistake at a reference-pinned site — runs the targeted test
+file(s), and requires at least one failure. Source files are restored
+afterwards (and verified byte-identical).
+
+Usage:
+  python scripts/mutation_check.py              # full sweep
+  python scripts/mutation_check.py --only lm_head_untie
+  python scripts/mutation_check.py --list
+
+Results table -> stdout + docs/MUTATION.json; the recorded sweep lives
+in docs/MUTATION.md. Exit code is nonzero if any mutant SURVIVES.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Each entry: a single-site source mutation + the test file(s) expected
+# to kill it + the reference semantics being defended.
+MUTATIONS = [
+    dict(
+        name="warmup_horizon",
+        ref="lxmert_pretrain.py:110-141 (warmup_ratio=0.05 linear schedule)",
+        file="xlxmert_tpu/core/optim.py",
+        old="    warmup_steps = max(int(total_steps * warmup_ratio), 1)",
+        new="    warmup_steps = max(int(total_steps * warmup_ratio * 2), 1)",
+        tests=["tests/test_trainer_trajectory_parity.py"],
+    ),
+    dict(
+        name="adamw_eps_placement",
+        ref="legacy BertAdam: eps on uncorrected sqrt(v), optim.py:6-9",
+        file="xlxmert_tpu/core/optim.py",
+        old="            upd = -lr_t * step_scale * m2 / (jnp.sqrt(v2) + eps)",
+        new="            upd = -lr_t * step_scale * m2 / jnp.sqrt(v2 + eps)",
+        tests=["tests/test_trainer_trajectory_parity.py"],
+    ),
+    dict(
+        name="decoupled_weight_decay",
+        ref="legacy AdamW decays the post-update param (optim.py:133-137)",
+        file="xlxmert_tpu/core/optim.py",
+        old="                upd = upd - lr_t * weight_decay * (p.astype(upd.dtype) + upd)",
+        new="                upd = upd - lr_t * weight_decay * p.astype(upd.dtype)",
+        tests=["tests/test_trainer_trajectory_parity.py"],
+    ),
+    dict(
+        name="layer_norm_eps",
+        ref="HF LxmertConfig layer_norm_eps=1e-12",
+        file="xlxmert_tpu/core/config.py",
+        old="    layer_norm_eps: float = 1e-12",
+        new="    layer_norm_eps: float = 1e-5",
+        tests=["tests/test_lxmert_parity.py"],
+    ),
+    dict(
+        name="gelu_tanh_on_training_path",
+        ref="HF lxmert hidden_act='gelu' is exact erf (lxmert.py:200-202)",
+        file="xlxmert_tpu/models/lxmert.py",
+        old="FAST_GELU = False",
+        new="FAST_GELU = True",
+        tests=["tests/test_lxmert_parity.py"],
+    ),
+    dict(
+        name="lm_head_untie",
+        ref="HF LxmertLMPredictionHead ties decoder to word embeddings",
+        file="xlxmert_tpu/models/lxmert.py",
+        old="        logits = jnp.einsum(\"bld,vd->blv\", h,\n"
+            "                            word_embedding_matrix.astype(self.dtype),",
+        new="        logits = jnp.einsum(\"bld,vd->blv\", h,\n"
+            "                            jax.lax.stop_gradient(word_embedding_matrix).astype(self.dtype),",
+        tests=["tests/test_trainer_trajectory_parity.py"],
+    ),
+    dict(
+        name="unshared_cross_attention",
+        ref="LxmertXLayer applies ONE shared visual_attention both ways "
+            "(lxmert.py:310-323)",
+        file="xlxmert_tpu/models/lxmert.py",
+        old="        visn_att = cross(visn, lang, lang_bias, deterministic)",
+        new="        visn_att = CrossAttentionLayer(self.config, self.dtype, "
+            "name=\"visual_attention2\")(visn, lang, lang_bias, deterministic)",
+        tests=["tests/test_lxmert_parity.py"],
+    ),
+    dict(
+        name="bce_answer_count_scaling",
+        ref="THIS reference's VQA BCE is unscaled (vqa.py:187); the "
+            "original-lxmert *answer_count variant must fail",
+        file="xlxmert_tpu/tasks/finetune.py",
+        old="    return -(targets * log_p + (1.0 - targets) * log_not_p).mean()",
+        new="    return -(targets * log_p + (1.0 - targets) * log_not_p).mean() * logits.shape[-1]",
+        tests=["tests/test_finetune_trajectory_parity.py"],
+    ),
+    dict(
+        name="update_freq_step0_updates",
+        ref="with accumulation, step 0 never updates (vqa.py:151-159)",
+        file="xlxmert_tpu/tasks/finetune.py",
+        old="    if step_i == 0:\n        return False",
+        new="    if step_i == 0:\n        return True",
+        tests=["tests/test_finetune_trajectory_parity.py"],
+    ),
+    dict(
+        name="mlm_rate_doubled",
+        ref="word_mask_rate 0.15 (lxmert_data.py:697-724)",
+        file="xlxmert_tpu/ops/masking.py",
+        old="    selected = jax.random.uniform(r_select, (B, L)) < mask_rate",
+        new="    selected = jax.random.uniform(r_select, (B, L)) < mask_rate * 2.0",
+        tests=["tests/test_masking.py"],
+    ),
+    dict(
+        name="mlm_mask_token_split",
+        ref="80/10/10 replacement split (lxmert_data.py:707-717)",
+        file="xlxmert_tpu/ops/masking.py",
+        old="    use_mask_tok = jax.random.uniform(r_replace, (B, L)) < 0.8",
+        new="    use_mask_tok = jax.random.uniform(r_replace, (B, L)) < 0.6",
+        tests=["tests/test_masking.py"],
+    ),
+    dict(
+        name="nar_decay_off_by_one",
+        ref="NAR linear mask-count decay int((n_steps-i)/n_steps*n_cells) "
+            "(imggen_model.py:169-257)",
+        file="xlxmert_tpu/tasks/sampling.py",
+        old="            n_mask = ((n_steps - i) * n_cells) // n_steps",
+        new="            n_mask = ((n_steps - i - 1) * n_cells) // n_steps",
+        tests=["tests/test_sampling.py"],
+    ),
+    dict(
+        name="obj_loss_weight",
+        ref="unweighted visual-loss sum (modeling.py:216-304)",
+        file="xlxmert_tpu/models/xlxmert.py",
+        old="            vis_total += obj",
+        new="            vis_total += 2.0 * obj",
+        tests=["tests/test_trainer_trajectory_parity.py"],
+    ),
+    dict(
+        name="feat_loss_weight",
+        ref="unweighted visual-loss sum incl. SmoothL1 feat (modeling.py:273-304)",
+        file="xlxmert_tpu/models/xlxmert.py",
+        old="            vis_total += fl",
+        new="            vis_total += 2.0 * fl",
+        tests=["tests/test_pretrain_engine.py"],
+    ),
+]
+
+
+def apply_and_run(mut, pytest_args):
+    path = os.path.join(REPO, mut["file"])
+    with open(path, "r") as f:
+        original = f.read()
+    if original.count(mut["old"]) != 1:
+        return dict(name=mut["name"], status="SITE_MISSING",
+                    detail=f"old-string count={original.count(mut['old'])}")
+    t0 = time.time()
+    try:
+        with open(path, "w") as f:
+            f.write(original.replace(mut["old"], mut["new"]))
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", *mut["tests"], "-x", "-q",
+             *pytest_args],
+            cwd=REPO, capture_output=True, text=True, timeout=1800)
+    finally:
+        with open(path, "w") as f:
+            f.write(original)
+    with open(path, "r") as f:
+        assert f.read() == original, f"restore failed for {path}"
+    tail = (proc.stdout or "").strip().splitlines()
+    status = "KILLED" if proc.returncode != 0 else "SURVIVED"
+    return dict(name=mut["name"], status=status, rc=proc.returncode,
+                secs=round(time.time() - t0, 1), tests=mut["tests"],
+                ref=mut["ref"], tail=tail[-1] if tail else "")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--json", default="docs/MUTATION.json")
+    args, extra = ap.parse_known_args()
+    if args.list:
+        for m in MUTATIONS:
+            print(f"{m['name']:32s} {m['file']} -> {m['tests']}")
+        return 0
+    muts = [m for m in MUTATIONS
+            if args.only is None or m["name"] == args.only]
+    if not muts:
+        print(f"no mutation named {args.only!r}")
+        return 2
+    results = []
+    for m in muts:
+        print(f"[{len(results)+1}/{len(muts)}] {m['name']} ...",
+              flush=True)
+        r = apply_and_run(m, extra)
+        results.append(r)
+        print(f"    {r['status']} ({r.get('secs', '?')}s) "
+              f"{r.get('tail', '')}", flush=True)
+    survivors = [r for r in results if r["status"] != "KILLED"]
+    print("\n== mutation sweep ==")
+    for r in results:
+        print(f"{r['status']:9s} {r['name']}")
+    print(f"{len(results) - len(survivors)}/{len(results)} killed")
+    if args.json and args.only is None:
+        with open(os.path.join(REPO, args.json), "w") as f:
+            json.dump(results, f, indent=1)
+    return 1 if survivors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -222,3 +222,21 @@ def test_box_position_matches_reference_semantics():
     assert b.min() == 0.0 and b.max() == 1.0
     # cell (row 2, col 3)
     np.testing.assert_allclose(b[2 * 8 + 3], [3 / 8, 2 / 8, 4 / 8, 3 / 8])
+
+
+def test_exact_math_defaults_at_import():
+    """The module-level perf toggles default to the EXACT reference math
+    (erf gelu, fp32 softmax, XLA attention) — serving_mode() is opt-in.
+    The autouse toggle-reset fixture in conftest.py restores these
+    between tests, which also means a drifted *default* would be masked
+    for every test but the first; this test binds the defaults
+    themselves (found by scripts/mutation_check.py round 5)."""
+    from xlxmert_tpu.models import lxmert as m
+
+    with open(m.__file__) as f:
+        src = f.read()
+    # source-level pin: a re-import with a flipped default is exactly a
+    # one-line edit of these assignments
+    assert "\nFAST_GELU = False\n" in src
+    assert "\nFAST_SOFTMAX = False\n" in src
+    assert '\nATTENTION_IMPL = "xla"\n' in src

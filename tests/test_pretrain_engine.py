@@ -360,3 +360,82 @@ def test_clustering_feat_loss_needs_exact_flags():
         state2.params, eng2.place(make_batch(eng2.cfg)),
         jax.random.PRNGKey(1), centroids)
     assert "feat_loss" in m2
+
+
+def test_pretrain_losses_torch_oracle():
+    """Pin the loss COMPOSITION (unweighted obj+attr+feat sum, SmoothL1
+    masked-mean formula, lm/matched/qa CE) value-for-value against a
+    torch transcription of the reference's loss section
+    (lxrt/modeling.py:216-307, loss_fcts :96-103). The trajectory tests
+    pin the clustering path end-to-end; this pins the detector-vocab
+    composition itself, so a drifted per-loss weight fails here even
+    though the engine smoke tests only check finiteness."""
+    import torch
+    import torch.nn.functional as F
+
+    from xlxmert_tpu.models.xlxmert import pretrain_losses
+
+    rng = np.random.RandomState(7)
+    B, L, V, D = 6, 12, 16, 16
+    n_obj, n_attr, n_vocab, n_qa = 23, 7, 150, 11
+    out = {
+        "lm_logits": rng.randn(B, L, n_vocab).astype(np.float32),
+        "matched_logits": rng.randn(B, 2).astype(np.float32),
+        "obj_logits": rng.randn(B, V, n_obj).astype(np.float32),
+        "attr_logits": rng.randn(B, V, n_attr).astype(np.float32),
+        "feat_pred": rng.randn(B, V, D).astype(np.float32),
+        "qa_logits": rng.randn(B, n_qa).astype(np.float32),
+    }
+    word_labels = rng.randint(0, n_vocab, (B, L)).astype(np.int32)
+    word_labels[rng.rand(B, L) < 0.8] = -1  # unmasked positions ignored
+    vis_mask = (rng.rand(B, V) < 0.4).astype(np.float32)
+    vis_mask[:, 0] = 1.0
+    labels = {
+        "word_labels": word_labels,
+        "matched_labels": rng.randint(0, 2, (B,)).astype(np.int32),
+        "obj_labels": rng.randint(0, n_obj, (B, V)).astype(np.int32),
+        "attr_labels": rng.randint(0, n_attr, (B, V)).astype(np.int32),
+        "feat_labels": rng.randn(B, V, D).astype(np.float32),
+        "vis_mask": vis_mask,
+        "qa_labels": rng.randint(0, n_qa, (B,)).astype(np.int32),
+    }
+    jx = {k: jnp.asarray(v) for k, v in out.items()}
+    jl = {k: jnp.asarray(v) for k, v in labels.items()}
+
+    def tt(x):
+        return torch.from_numpy(np.asarray(x))
+
+    # torch transcription: CrossEntropyLoss() means over non-ignored;
+    # feat = SmoothL1(none).mean(dim=2) -> *vis_mask sum / clamp(n,1) -> mean
+    ce = torch.nn.CrossEntropyLoss(ignore_index=-1)
+    ref = {}
+    ref["lm_loss"] = ce(tt(out["lm_logits"]).view(-1, n_vocab),
+                        tt(word_labels).long().view(-1))
+    ref["matched_loss"] = ce(tt(out["matched_logits"]),
+                             tt(labels["matched_labels"]).long())
+    ref["obj_loss"] = ce(tt(out["obj_logits"]).view(B * V, n_obj),
+                         tt(labels["obj_labels"]).long().flatten())
+    ref["attr_loss"] = ce(tt(out["attr_logits"]).view(B * V, n_attr),
+                          tt(labels["attr_labels"]).long().flatten())
+    fl = F.smooth_l1_loss(tt(out["feat_pred"]), tt(labels["feat_labels"]),
+                          reduction="none").mean(dim=2)
+    fl = (fl * tt(vis_mask)).sum(dim=1) / tt(vis_mask).sum(dim=1).clamp(min=1)
+    ref["feat_loss"] = fl.mean()
+    ref["qa_loss"] = ce(tt(out["qa_logits"]), tt(labels["qa_labels"]).long())
+    ref["vis_loss"] = ref["obj_loss"] + ref["attr_loss"] + ref["feat_loss"]
+
+    for task, keys in (
+        ("word_mask", ["lm_loss"]),
+        ("matched", ["matched_loss"]),
+        ("vis_mask", ["obj_loss", "attr_loss", "feat_loss", "vis_loss"]),
+    ):
+        got = pretrain_losses(jx, jl, task,
+                              visual_loss_keys=("obj", "attr", "feat"),
+                              task_qa=True)
+        expect_total = sum(float(ref[k]) for k in keys
+                           if k != "vis_loss") + float(ref["qa_loss"])
+        for k in keys + ["qa_loss"]:
+            np.testing.assert_allclose(float(got[k]), float(ref[k]),
+                                       rtol=2e-6, atol=2e-6, err_msg=k)
+        np.testing.assert_allclose(float(got["total_loss"]), expect_total,
+                                   rtol=2e-6, atol=2e-6, err_msg=task)

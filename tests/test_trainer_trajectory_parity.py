@@ -503,3 +503,65 @@ def test_trainer_trajectory_parity_across_warmup_boundary():
         assert int(cj_) == int(ct.flatten()[0]), (
             f"step-count mismatch at {jax.tree_util.keystr(pj)}: "
             f"ours {int(cj_)} vs torch {int(ct.flatten()[0])}")
+
+
+def test_word_mask_gradient_pins_lm_head_tie():
+    """Gradient-level pin of the LM-head weight tie: the word-embedding
+    table's grad on a word_mask batch must match torch, where the tied
+    decoder (HF LxmertPreTrainingHeads shares the embedding Parameter)
+    contributes the MLM-logit gradient on the LABEL rows. The trajectory
+    test's final-param check uses an update-envelope tolerance (6*LR)
+    that Adam's sign-saturation hides this under (mutation
+    `lm_head_untie` survived it, scripts/mutation_check.py r5); this
+    test kills it directly."""
+    hf_cfg = transformers.LxmertConfig(
+        vocab_size=CFG_KW["vocab_size"], hidden_size=CFG_KW["hidden_size"],
+        num_attention_heads=CFG_KW["num_attention_heads"],
+        intermediate_size=CFG_KW["intermediate_size"],
+        l_layers=CFG_KW["l_layers"], x_layers=CFG_KW["x_layers"],
+        r_layers=CFG_KW["r_layers"], visual_feat_dim=FEAT_DIM,
+        visual_pos_dim=4, num_qa_labels=CFG_KW["num_qa_labels"],
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    centroids = (np.random.RandomState(11)
+                 .randn(N_CLUSTERS, FEAT_DIM).astype(np.float32) * 0.5)
+    torch.manual_seed(4)
+    tmodel = RefPretrainModel(hf_cfg, centroids)
+    tmodel.train()
+
+    tcfg = TrainConfig(
+        batch_size=B, max_text_length=L, grid_size=G, feat_dim=FEAT_DIM,
+        num_clusters=N_CLUSTERS, clustering=True, mixed_precision=False,
+        lr=LR, warmup_ratio=WARMUP_RATIO, weight_decay=WD,
+        clip_grad_norm=CLIP, adam_eps=EPS, task_qa=False)
+    eng = PretrainEngine(tcfg, model_cfg=LxmertConfig(**CFG_KW),
+                         total_steps=TOTAL_STEPS)
+    sd = {k: v for k, v in tmodel.state_dict().items() if k != "centroids"}
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                          convert_torch_state_dict(sd))
+
+    batch = make_batches(1, seed=3)[0]
+    loss = tmodel("word_mask", batch)
+    loss.backward()
+    t_grad = (tmodel.bert.embeddings.word_embeddings.weight
+              .grad.detach().numpy())
+
+    lf = eng.loss_fn("word_mask")
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def scalar_loss(p):
+        l, _ = lf(p, jb, jax.random.PRNGKey(0), jnp.asarray(centroids),
+                  True)
+        return l
+    grads = jax.grad(scalar_loss)(params)
+    j_grad = np.asarray(
+        grads["bert"]["embeddings"]["word_embeddings"]["embedding"])
+
+    # rows that occur ONLY as labels get grad exclusively through the
+    # tied decoder — assert the tie is live, then pin everything
+    inp = np.unique(batch["masked_word_id"])
+    lab = np.unique(batch["word_label"][batch["word_label"] >= 0])
+    label_only = np.setdiff1d(lab, inp)
+    assert label_only.size > 0, "batch must exercise decoder-only rows"
+    assert np.abs(t_grad[label_only]).max() > 1e-7
+    assert np.abs(j_grad[label_only]).max() > 1e-7
+    np.testing.assert_allclose(j_grad, t_grad, atol=5e-6, rtol=5e-4)
