@@ -486,6 +486,11 @@ def measure_factory():
     out["kmeans_rows_per_sec"] = round(N / best, 0)
 
     B, H, W, K = 8, 800, 1344, 4
+    # per-stage hybrid grouped-conv lowering: einsum at stage 1 (Cg=8)
+    # only — measured +10% over all-grouped (23.3 vs 21.1 img/s, r5;
+    # all-einsum loses at 16.6 — scripts/drive_group_conv.py)
+    from xlxmert_tpu.models.detectron import group_conv_mode
+    group_conv_mode("auto")
     model = DetectronGridExtractor(DetectronConfig(), grid_size=8,
                                    dtype=jnp.bfloat16)
     images = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3),
@@ -513,6 +518,7 @@ def measure_factory():
         float(np.asarray(m)[-1])
         best = min(best, time.time() - t0)
     out["extract_imgs_per_sec"] = round(K * B / best, 1)
+    group_conv_mode(False)
     return out
 
 

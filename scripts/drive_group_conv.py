@@ -112,7 +112,7 @@ def full_extract():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images,
                                  sizes)["params"]
     K = args.extract_chain
-    for mode in (False, True):
+    for mode in (False, "auto", True):
         det.group_conv_mode(mode)
 
         @jax.jit
@@ -124,11 +124,12 @@ def full_extract():
             _, means = jax.lax.scan(body, images, None, length=K)
             return means
 
+        label = {False: "grouped-conv", True: "einsum",
+                 "auto": "hybrid(stage1-einsum)"}[mode]
         t0 = time.time()
         m = chain(params, images, sizes)
         float(np.asarray(m)[-1])
-        print(f"  mode={'einsum' if mode else 'grouped'} "
-              f"compile+first {time.time()-t0:.1f}s")
+        print(f"  mode={label} compile+first {time.time()-t0:.1f}s")
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
@@ -136,8 +137,7 @@ def full_extract():
             float(np.asarray(m)[-1])
             best = min(best, time.time() - t0)
         per_img = best / (K * B)
-        print(f"full extract (B={B}, {dtype.__name__}, "
-              f"{'einsum' if mode else 'grouped-conv'}): "
+        print(f"full extract (B={B}, {dtype.__name__}, {label}): "
               f"{per_img*1e3:.1f} ms/img = {1/per_img:,.1f} img/s/chip")
     det.group_conv_mode(False)
 

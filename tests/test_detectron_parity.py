@@ -364,5 +364,19 @@ def test_grouped_conv_einsum_lowering_is_exact():
         np.testing.assert_allclose(
             np.asarray(_conv(x, w, 1, 1, G)),
             np.asarray(_grouped_conv_einsum(x, w, 1, 1, G)), atol=0)
+        # "auto": einsum iff Cg <= GROUP_EINSUM_CG_MAX (stage 1), lax
+        # grouped conv elsewhere — numerics stay exact either way
+        group_conv_mode("auto")
+        np.testing.assert_allclose(   # cgi=8 -> einsum branch
+            np.asarray(_conv(x, w, 1, 1, G)),
+            np.asarray(_grouped_conv_einsum(x, w, 1, 1, G)), atol=0)
+        w16 = jnp.asarray(rng.randn(3, 3, 16, G * cgo).astype(np.float32))
+        x16 = jnp.asarray(rng.randn(B, H, W, G * 16).astype(np.float32))
+        group_conv_mode(False)
+        ref16 = _conv(x16, w16, 1, 1, G)
+        group_conv_mode("auto")    # cgi=16 -> lax branch, bit-identical
+        np.testing.assert_allclose(
+            np.asarray(_conv(x16, w16, 1, 1, G)), np.asarray(ref16),
+            atol=0)
     finally:
         group_conv_mode(False)

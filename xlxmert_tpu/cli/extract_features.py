@@ -49,10 +49,13 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--tiny_detectron", action="store_true",
                    help="tiny random maskrcnn config (pipeline tests)")
-    p.add_argument("--group_einsum", action="store_true",
+    p.add_argument("--group_einsum", nargs="?", const="on",
+                   choices=["on", "auto"], default=None,
                    help="exact einsum lowering of the ResNeXt grouped "
-                   "convs (models/detectron.group_conv_mode; measured "
-                   "verdict in scripts/drive_group_conv.py)")
+                   "convs: 'on' = everywhere, 'auto' = only stage 1 "
+                   "(Cg=8), the measured per-stage winner "
+                   "(models/detectron.group_conv_mode; verdict in "
+                   "scripts/drive_group_conv.py)")
     return p.parse_args(argv)
 
 
@@ -109,9 +112,9 @@ def run_maskrcnn(ns):
     cfg = tiny_detectron_config() if ns.tiny_detectron else DetectronConfig()
     model = DetectronGridExtractor(cfg, grid_size=ns.grid_size)
     imsize = ns.image_size or None
-    if getattr(ns, "group_einsum", False):
+    if getattr(ns, "group_einsum", None):
         from xlxmert_tpu.models.detectron import group_conv_mode
-        group_conv_mode(True)
+        group_conv_mode(True if ns.group_einsum == "on" else "auto")
 
     paths, out = resolve_inputs(ns, kind="grid")
     ns.out = out

@@ -105,12 +105,21 @@ class FrozenBN(nn.Module):
 # G as the batch dim, avoiding the grouped-conv layout entirely at the
 # cost of materializing the 9x patch tensor. Off by default; enable
 # with `group_conv_mode(True)` / `cli/extract_features --group_einsum`.
-# Measured verdict lives in the docstring of scripts/drive_group_conv.py.
+#
+# Measured verdict (chip, B=8 bf16, scripts/drive_group_conv.py r5):
+# ALL-einsum loses end-to-end (16.6 vs 21.2 img/s) — the 9x patch
+# materialization costs more HBM than the lane padding at Cg>=16 — but
+# at stage 1 (Cg=8, 16x lane-pad waste) the einsum is 1.36x faster
+# (23.9 vs 32.5 ms/conv). "auto" applies the einsum only where
+# Cg <= GROUP_EINSUM_CG_MAX, i.e. stage 1.
 GROUP_CONV_EINSUM = False
+GROUP_EINSUM_CG_MAX = 8
 
 
-def group_conv_mode(enable: bool = True) -> None:
-    """Enable (or disable) the einsum lowering of grouped convs."""
+def group_conv_mode(enable=True) -> None:
+    """Set the grouped-conv lowering: False (XLA grouped conv), True
+    (einsum everywhere), or "auto" (einsum only at Cg <= 8 where the
+    lane padding dominates — the measured per-stage winner)."""
     global GROUP_CONV_EINSUM
     GROUP_CONV_EINSUM = enable
 
@@ -134,7 +143,9 @@ def _grouped_conv_einsum(x, kernel, stride, padding, groups):
 
 def _conv(x, kernel, stride=1, padding=0, groups=1):
     if groups > 1 and GROUP_CONV_EINSUM:
-        return _grouped_conv_einsum(x, kernel, stride, padding, groups)
+        if (GROUP_CONV_EINSUM is True
+                or kernel.shape[2] <= GROUP_EINSUM_CG_MAX):
+            return _grouped_conv_einsum(x, kernel, stride, padding, groups)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
