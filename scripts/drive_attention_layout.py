@@ -76,21 +76,26 @@ def main_bf16():
         serving_mode(True, attention=attn)
 
         @jax.jit
-        def run(ids, pos, mask, stacked, seed):
+        def run(mp, hp, ids, pos, mask, stacked, seed):
+            # params are ARGUMENTS, not closure constants: a closed-over
+            # 400 MB bf16 tree ships in the remote-compile request body
+            # and trips the tunnel's HTTP 413 limit
             def body(carry, f):
                 _, _, pooled = model.apply(
-                    {"params": bf16_params}, ids, f + carry * 1e-6, pos,
+                    {"params": mp}, ids, f + carry * 1e-6, pos,
                     attention_mask=mask, deterministic=True)
-                logits = head.apply({"params": bf16_head}, pooled)
+                logits = head.apply({"params": hp}, pooled)
                 return carry + logits.mean().astype(jnp.bfloat16), ()
             c, _ = jax.lax.scan(body, seed, stacked)
             return c
 
-        float(run(ids, pos, mask, stacked, jnp.bfloat16(0.0)))
+        float(run(bf16_params, bf16_head, ids, pos, mask, stacked,
+                  jnp.bfloat16(0.0)))
         best = 0.0
         for r in range(args.repeats):
             t0 = time.time()
-            float(run(ids, pos, mask, stacked, jnp.bfloat16(r + 1.0)))
+            float(run(bf16_params, bf16_head, ids, pos, mask, stacked,
+                      jnp.bfloat16(r + 1.0)))
             best = max(best, B * K / (time.time() - t0))
         print(f"[bf16/{attn}] {best:.0f} q/s (best of {args.repeats}, "
               f"K={K}, B={B}, L={L})", flush=True)

@@ -64,12 +64,19 @@ ATTENTION_IMPL = "xla"
 FUSED_FFN = False
 
 
-def serving_mode(on: bool = True, attention: str = "xla",
+def serving_mode(on: bool = True, attention: str = "auto",
                  fused_ffn: bool = False) -> None:
-    # attention="xla" is the measured winner at LXRT's tiny sequence
-    # shapes (see ops/attention.py docstring); "pallas" is the fused
-    # VMEM kernel, opt-in.
+    # attention="auto" resolves to the round-5 BL(HD) layout-native
+    # kernel on accelerators (measured +29% on the bf16 serving path:
+    # 10,377 vs 8,032 q/s at B=256/L=20, scripts/drive_attention_layout
+    # --bf16) and to "xla" on CPU (keeps the test suite fast; interpret
+    # mode is opt-in via attention="pallas_blhd"). The per-(B,H,L,D)
+    # "pallas" fused_mha kernel remains the measured loser at these
+    # shapes (see ops/attention.py docstring) — opt-in only.
     global FAST_SOFTMAX, FAST_GELU, ATTENTION_IMPL, FUSED_FFN
+    if attention == "auto":
+        attention = ("xla" if jax.devices()[0].platform == "cpu"
+                     else "pallas_blhd")
     FAST_SOFTMAX = on
     FAST_GELU = on
     ATTENTION_IMPL = attention if on else "xla"
