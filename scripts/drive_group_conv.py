@@ -35,6 +35,11 @@ parser.add_argument("--chain", type=int, default=16,
 parser.add_argument("--full", action="store_true",
                     help="also time the full grid extraction both ways")
 parser.add_argument("--extract_chain", type=int, default=4)
+parser.add_argument("--modes", default="grouped,auto,einsum",
+                    help="comma list of full-extract lowerings to time "
+                    "(grouped|auto|einsum) — e.g. --modes auto to probe "
+                    "whether stage1-einsum lets B=8 fp32 fit HBM")
+parser.add_argument("--skip_isolated", action="store_true")
 args = parser.parse_args()
 
 import jax
@@ -112,7 +117,9 @@ def full_extract():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images,
                                  sizes)["params"]
     K = args.extract_chain
-    for mode in (False, "auto", True):
+    wanted = args.modes.split(",")
+    mode_of = {"grouped": False, "auto": "auto", "einsum": True}
+    for mode in [mode_of[w] for w in wanted]:
         det.group_conv_mode(mode)
 
         @jax.jit
@@ -142,7 +149,8 @@ def full_extract():
     det.group_conv_mode(False)
 
 
-isolated()
+if not args.skip_isolated:
+    isolated()
 if args.full:
     full_extract()
 print("OK")

@@ -139,6 +139,27 @@ MUTATIONS = [
         tests=["tests/test_trainer_trajectory_parity.py"],
     ),
     dict(
+        name="gan_featmatch_weight",
+        ref="gan_feat_match_lambda=10 (image_generator configs.py:131); "
+            "the step-oracle reads CFG.lambda_* on both sides, so the "
+            "VALUE is pinned by the defaults test, not the oracle",
+        file="xlxmert_tpu/core/config.py",
+        old="    lambda_feat_match: float = 10.0",
+        new="    lambda_feat_match: float = 5.0",
+        tests=["tests/test_gan_trainer.py"],
+    ),
+    dict(
+        name="gan_hinge_d_margin",
+        ref="hinge D loss relu(1-real)+relu(1+fake) (SPADE recipe; "
+            "pinned by the torch step-oracle at gradient level)",
+        file="xlxmert_tpu/tasks/train_generator.py",
+        old="    return (jnp.maximum(0.0, 1.0 - real_logit).mean()\n"
+            "            + jnp.maximum(0.0, 1.0 + fake_logit).mean())",
+        new="    return (jnp.maximum(0.0, 0.5 - real_logit).mean()\n"
+            "            + jnp.maximum(0.0, 0.5 + fake_logit).mean())",
+        tests=["tests/test_gan_step_oracle.py"],
+    ),
+    dict(
         name="feat_loss_weight",
         ref="unweighted visual-loss sum incl. SmoothL1 feat (modeling.py:273-304)",
         file="xlxmert_tpu/models/xlxmert.py",

@@ -184,3 +184,25 @@ def test_chained_gd_equals_sequential():
     for a, b in zip(jax.tree.leaves(s1.sn_g), jax.tree.leaves(s2.sn_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-2)
+
+
+def test_gan_config_defaults_pin_reference_recipe():
+    """The step-oracle (test_gan_step_oracle) reads CFG.lambda_* on BOTH
+    sides, so it pins the loss COMPOSITION but is self-referential for
+    the lambda VALUES. This pins the values (and the optimizer recipe)
+    to the reference's configs.py defaults:
+      gan_loss_lambda=1 / gan_loss_cluster_lambda=1 /
+      feat_loss_lambda=10 / gan_feat_match_lambda=10 (configs.py:119-134)
+      g_lr=4e-4 / d_lr=1e-4 / Adam beta1=0, beta2=0.999 (configs.py:61-72)
+    so a drifted default fails here even though the oracle would track it."""
+    from xlxmert_tpu.core.config import GanConfig
+
+    cfg = GanConfig()
+    assert cfg.lambda_adv == 1.0
+    assert cfg.lambda_cls == 1.0
+    assert cfg.lambda_feat == 10.0
+    assert cfg.lambda_feat_match == 10.0
+    assert cfg.g_lr == 4e-4
+    assert cfg.d_lr == 1e-4
+    assert cfg.adam_beta1 == 0.0
+    assert cfg.adam_beta2 == 0.999
