@@ -53,6 +53,11 @@ def parse_args(argv=None):
                    help="tiny random config (pipeline tests)")
     p.add_argument("--min_size", type=int, default=800)
     p.add_argument("--max_size", type=int, default=1333)
+    p.add_argument("--group_einsum", nargs="?", const="on",
+                   choices=["on", "auto", "off"], default="auto",
+                   help="grouped-conv lowering for the ResNeXt backbone "
+                   "(same semantics as cli/extract_features; 'auto' is "
+                   "the measured per-stage winner)")
     return p.parse_args(argv)
 
 
@@ -69,6 +74,10 @@ def main(argv=None):
         DetectronConfig, DetectronDetector, convert_detectron_state_dict,
         preprocess_image, tiny_detectron_config)
     from xlxmert_tpu.ops.box_selection import select_top_features
+
+    from xlxmert_tpu.models.detectron import group_conv_mode
+    mode = getattr(ns, "group_einsum", "auto") or "off"
+    group_conv_mode({"on": True, "auto": "auto", "off": False}[mode])
 
     cfg = tiny_detectron_config() if ns.tiny_detectron else DetectronConfig()
     model = DetectronDetector(

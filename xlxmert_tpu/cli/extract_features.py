@@ -50,12 +50,13 @@ def parse_args(argv=None):
     p.add_argument("--tiny_detectron", action="store_true",
                    help="tiny random maskrcnn config (pipeline tests)")
     p.add_argument("--group_einsum", nargs="?", const="on",
-                   choices=["on", "auto"], default=None,
+                   choices=["on", "auto", "off"], default="auto",
                    help="exact einsum lowering of the ResNeXt grouped "
-                   "convs: 'on' = everywhere, 'auto' = only stage 1 "
-                   "(Cg=8), the measured per-stage winner "
-                   "(models/detectron.group_conv_mode; verdict in "
-                   "scripts/drive_group_conv.py)")
+                   "convs: 'auto' (default) = only stage 1 (Cg=8), the "
+                   "measured per-stage winner (+10%% bf16, unlocks B=8 "
+                   "fp32); 'on' = everywhere (measured loser); 'off' = "
+                   "XLA grouped conv (models/detectron.group_conv_mode; "
+                   "verdict in scripts/drive_group_conv.py)")
     return p.parse_args(argv)
 
 
@@ -112,9 +113,9 @@ def run_maskrcnn(ns):
     cfg = tiny_detectron_config() if ns.tiny_detectron else DetectronConfig()
     model = DetectronGridExtractor(cfg, grid_size=ns.grid_size)
     imsize = ns.image_size or None
-    if getattr(ns, "group_einsum", None):
-        from xlxmert_tpu.models.detectron import group_conv_mode
-        group_conv_mode(True if ns.group_einsum == "on" else "auto")
+    from xlxmert_tpu.models.detectron import group_conv_mode
+    mode = getattr(ns, "group_einsum", "auto") or "off"
+    group_conv_mode({"on": True, "auto": "auto", "off": False}[mode])
 
     paths, out = resolve_inputs(ns, kind="grid")
     ns.out = out
