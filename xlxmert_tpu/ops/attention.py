@@ -182,12 +182,18 @@ def _mha_blhd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
 
 
 def mha_blhd(q, k, v, bias, n_heads: int, fast: bool = True,
-             block_b: int = 16):
+             block_b: int = 32):
     """Fused attention over packed heads: q (B, Lq, H*D), k/v
     (B, Lk, H*D), optional additive bias (B, 1, 1, Lk) (the serving
     engine's _extend_mask shape) or (B, Lk). Returns (B, Lq, H*D) — the
     same layout the out-projection consumes, so XLA inserts no
-    head-split transposes. Serving-path only (no vjp)."""
+    head-split transposes. Serving-path only (no vjp).
+
+    block_b default from the round-5 chip sweep
+    (scripts/drive_attention_layout.py, B=256 int8 engine, L=20):
+    block 16 = 12,600 q/s, block 32 = 12,970 (+2.9%, bit-exact logits),
+    block 64 = VMEM OOM at the B,Lq=64 visual self-attn site (4 ops x
+    32x64x768 bf16 doubles to 24 MB > the 16 MB scoped-vmem limit)."""
     B, Lq, HD = q.shape
     Lk = k.shape[1]
     D = HD // n_heads
