@@ -24,6 +24,12 @@ parser.add_argument("--no_dropout", action="store_true",
                     "PRNG + mask cost in the train step")
 parser.add_argument("--rng_impl", default=None,
                     help="ablation: jax_default_prng_impl (e.g. rbg)")
+parser.add_argument("--train_attention", default="xla",
+                    choices=["xla", "pallas_blhd", "auto"],
+                    help="training-path attention impl "
+                    "(models/lxmert.train_attention_mode): pallas_blhd = "
+                    "BL(HD) layout-native Pallas fwd + einsum-recompute "
+                    "bwd, dropout mask as a kernel operand")
 parser.add_argument("--attrib", type=int, default=0, metavar="K",
                     help="step-time attribution: time K-chained variants "
                     "of the vis_mask step — forward-only, forward+grad "
@@ -43,9 +49,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from xlxmert_tpu.core.config import LxmertConfig, TrainConfig
+from xlxmert_tpu.models.lxmert import train_attention_mode
 from xlxmert_tpu.tasks.pretrain import PretrainEngine
 
 print("devices:", jax.devices())
+print("train_attention:", train_attention_mode(args.train_attention))
 
 if args.tiny:
     model_cfg = LxmertConfig(vocab_size=1000, hidden_size=64,

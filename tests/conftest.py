@@ -45,6 +45,8 @@ def _reset_global_perf_toggles():
     from xlxmert_tpu.serving import lxmert_int8 as _engine
 
     _lxmert.serving_mode(False)
+    if hasattr(_lxmert, "train_attention_mode"):
+        _lxmert.train_attention_mode("xla")
     _engine.attention_impl("auto")
     _engine.int8_attention(False)
     _gan.render_mode(None)

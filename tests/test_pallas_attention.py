@@ -140,6 +140,166 @@ def test_int8_engine_pallas_blhd_core_agrees():
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+def test_pick_block_b_scoped_vmem_guard():
+    """Empirical VMEM model from the bench-r5 B=512 OOM: the production
+    sites must keep the measured-winning block 32 at B=256 (grid 8,
+    single-buffered) and shrink to 16 at B=512 (grid>8 double-buffers
+    the windows past the 16 MB scoped limit)."""
+    from xlxmert_tpu.ops.attention import _pick_block_b
+
+    HD, bf16 = 768, 2
+    # visual self-attn 64x64: the site the B=512 compile OOMed on
+    assert _pick_block_b(32, 256, 64, 64, HD, bf16) == 32
+    assert _pick_block_b(32, 512, 64, 64, HD, bf16) == 16
+    # cross-attn 20x64 doubles past the limit at B=512 too
+    assert _pick_block_b(32, 512, 20, 64, HD, bf16) == 16
+    # text self-attn 20x20 fits doubled
+    assert _pick_block_b(32, 512, 20, 20, HD, bf16) == 32
+    # small batches: block clamps to B, never zero
+    assert _pick_block_b(32, 8, 64, 64, HD, bf16) == 8
+    assert _pick_block_b(16, 3, 20, 20, HD, bf16) == 3
+    # train kernel's dropout-mask window counts against the budget
+    assert _pick_block_b(16, 256, 64, 64, HD, bf16,
+                         extra_elems_per_bb=12 * 64 * 64) <= 16
+
+
+@pytest.mark.parametrize("with_bias", [True, False])
+@pytest.mark.parametrize("with_mask", [True, False])
+def test_mha_blhd_train_fwd_matches_einsum(with_bias, with_mask):
+    """Training BL(HD) kernel (interpret): forward parity vs the einsum
+    reference it shares a backward with, incl. the dropout-mask operand."""
+    from xlxmert_tpu.ops.attention import _blhd_einsum_ref, mha_blhd_train
+
+    rng = np.random.RandomState(5)
+    B, H, D, Lq, Lk = 4, 12, 64, 20, 64
+    q = jnp.asarray(rng.randn(B, Lq, H * D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Lk, H * D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Lk, H * D).astype(np.float32))
+    bias = None
+    if with_bias:
+        m = np.zeros((B, Lk), np.float32)
+        m[:, Lk - 9:] = -1e9
+        bias = jnp.asarray(m)[:, None, None, :]
+    mask = None
+    if with_mask:
+        keep = jax.random.bernoulli(jax.random.PRNGKey(7), 0.9,
+                                    (B, H, Lq, Lk))
+        mask = keep.astype(jnp.float32) / 0.9
+    out = mha_blhd_train(q, k, v, bias, mask, H, False)
+    ref = _blhd_einsum_ref(q, k, v, bias, mask, H, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_mha_blhd_train_grads_match_einsum():
+    """custom_vjp backward (einsum recompute with the saved mask) equals
+    grad of the einsum reference — q/k/v cotangents, dropout mask on."""
+    from xlxmert_tpu.ops.attention import _blhd_einsum_ref, mha_blhd_train
+
+    rng = np.random.RandomState(6)
+    B, H, D, Lq, Lk = 2, 4, 16, 8, 12
+    q = jnp.asarray(rng.randn(B, Lq, H * D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Lk, H * D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Lk, H * D).astype(np.float32))
+    m = np.zeros((B, Lk), np.float32)
+    m[:, Lk - 3:] = -1e9
+    bias = jnp.asarray(m)[:, None, None, :]
+    keep = jax.random.bernoulli(jax.random.PRNGKey(8), 0.9, (B, H, Lq, Lk))
+    mask = keep.astype(jnp.float32) / 0.9
+
+    g = jax.grad(lambda q, k, v: (
+        mha_blhd_train(q, k, v, bias, mask, H, False) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: (
+        _blhd_einsum_ref(q, k, v, bias, mask, H, False) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_train_attention_mode_model_loss_and_grads():
+    """Full backbone, training forward (deterministic=False) with
+    train_attention_mode('pallas_blhd') vs 'xla': with dropout rates
+    pinned to 0 the two formulations must agree in loss AND param grads
+    (dropout>0 draws different-but-equally-distributed masks by design)."""
+    cfg = LxmertConfig(
+        vocab_size=100, hidden_size=32, num_attention_heads=4,
+        intermediate_size=64, l_layers=1, x_layers=1, r_layers=1,
+        visual_feat_dim=16, num_clusters=10,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    model = L.LxmertModel(cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(9)
+    B, T, V = 2, 8, 9
+    ids = jnp.asarray(rng.randint(1, 100, (B, T)).astype(np.int32))
+    mask = np.ones((B, T), np.float32)
+    mask[1, T - 2:] = 0.0
+    mask = jnp.asarray(mask)
+    feats = jnp.asarray(rng.randn(B, V, 16).astype(np.float32))
+    pos = jnp.asarray(rng.rand(B, V, 4).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos,
+                        attention_mask=mask)["params"]
+
+    def loss(params):
+        lang, vis, pooled = model.apply(
+            {"params": params}, ids, feats, pos, attention_mask=mask,
+            deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(3)})
+        return (pooled ** 2).mean() + (lang ** 2).mean() + (vis ** 2).mean()
+
+    try:
+        L.train_attention_mode("xla")
+        l0, g0 = jax.value_and_grad(loss)(params)
+        L.train_attention_mode("pallas_blhd")
+        l1, g1 = jax.value_and_grad(loss)(params)
+    finally:
+        L.train_attention_mode("xla")
+    np.testing.assert_allclose(float(l0), float(l1), atol=1e-5, rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    assert flat0
+    for path, a in flat0:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(flat1[path]), atol=1e-4, rtol=1e-4,
+            err_msg=str(path))
+
+
+def test_train_attention_dropout_mask_regularizes():
+    """With dropout>0 the pallas_blhd train path must actually drop:
+    two different dropout RNG keys give different outputs, and
+    deterministic eval is unaffected by the toggle."""
+    cfg = LxmertConfig(
+        vocab_size=100, hidden_size=32, num_attention_heads=4,
+        intermediate_size=64, l_layers=1, x_layers=1, r_layers=1,
+        visual_feat_dim=16, num_clusters=10,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.5)
+    model = L.LxmertModel(cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(10)
+    B, T, V = 2, 8, 9
+    ids = jnp.asarray(rng.randint(1, 100, (B, T)).astype(np.int32))
+    feats = jnp.asarray(rng.randn(B, V, 16).astype(np.float32))
+    pos = jnp.asarray(rng.rand(B, V, 4).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos)["params"]
+    try:
+        L.train_attention_mode("pallas_blhd")
+        o1 = model.apply({"params": params}, ids, feats, pos,
+                         deterministic=False,
+                         rngs={"dropout": jax.random.PRNGKey(1)})[2]
+        o2 = model.apply({"params": params}, ids, feats, pos,
+                         deterministic=False,
+                         rngs={"dropout": jax.random.PRNGKey(2)})[2]
+        e1 = model.apply({"params": params}, ids, feats, pos,
+                         deterministic=True)[2]
+        L.train_attention_mode("xla")
+        e0 = model.apply({"params": params}, ids, feats, pos,
+                         deterministic=True)[2]
+    finally:
+        L.train_attention_mode("xla")
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e0),
+                               atol=0, rtol=0)
+
+
 def test_serving_mode_pallas_blhd_model_parity():
     """Full backbone with attention='pallas_blhd' (round-5 layout-native
     kernel) vs exact mode, interpret on CPU."""

@@ -62,6 +62,28 @@ ATTENTION_IMPL = "xla"
 # per row tile, which costs more than the intermediate saves at these
 # sizes — opt-in only.
 FUSED_FFN = False
+# TRAIN_ATTENTION_IMPL routes the NON-deterministic (training) forward
+# through ops/attention.mha_blhd_train: Pallas BL(HD) forward with the
+# dropout mask passed as a kernel operand (drawn from the module's
+# "dropout" RNG like nn.Dropout), einsum-recompute backward with the
+# same mask (exact grads). Independent of serving_mode(); default "xla"
+# keeps the exact einsum formulation for parity tests.
+TRAIN_ATTENTION_IMPL = "xla"
+
+
+def train_attention_mode(impl: str = "auto") -> str:
+    """Select the training-path attention implementation.
+
+    "auto" resolves to the layout-native Pallas kernel on accelerators
+    and to "xla" on CPU (tests / virtual mesh). Returns the resolved
+    impl. Flip BEFORE building/jitting the train step — the flag is
+    read at trace time."""
+    global TRAIN_ATTENTION_IMPL
+    if impl == "auto":
+        impl = ("xla" if jax.devices()[0].platform == "cpu"
+                else "pallas_blhd")
+    TRAIN_ATTENTION_IMPL = impl
+    return impl
 
 
 def serving_mode(on: bool = True, attention: str = "auto",
@@ -124,6 +146,23 @@ class Attention(nn.Module):
             from xlxmert_tpu.ops.attention import mha_blhd
 
             return mha_blhd(q, k, v, attention_bias, H, FAST_SOFTMAX)
+
+        if TRAIN_ATTENTION_IMPL == "pallas_blhd" and not deterministic:
+            # training variant: the attention-prob dropout mask is drawn
+            # here (same flax "dropout" RNG collection nn.Dropout uses)
+            # and applied INSIDE the kernel; backward recomputes via the
+            # einsum formulation with the same mask (ops/attention.py)
+            from xlxmert_tpu.ops.attention import mha_blhd_train
+
+            rate = cfg.attention_probs_dropout_prob
+            mask = None
+            if rate > 0.0:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - rate, (B, H, Lq, Lk))
+                mask = keep.astype(self.dtype) / jnp.asarray(
+                    1.0 - rate, self.dtype)
+            return mha_blhd_train(q, k, v, attention_bias, mask, H,
+                                  FAST_SOFTMAX)
 
         q = q.reshape(B, Lq, H, D)
         k = k.reshape(B, Lk, H, D)

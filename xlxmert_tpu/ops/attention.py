@@ -157,9 +157,11 @@ fused_mha.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def _mha_blhd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
-                     n_heads: int, scale: float, acc_dtype):
+                     n_heads: int, scale: float, acc_dtype,
+                     mask_ref=None):
     """One batch block: q (BB, Lq, H*D), k/v (BB, Lk, H*D),
-    bias (BB, 1, Lk) additive or None, o (BB, Lq, H*D)."""
+    bias (BB, 1, Lk) additive or None, optional pre-scaled dropout
+    mask (BB, H, Lq, Lk), o (BB, Lq, H*D)."""
     D = q_ref.shape[-1] // n_heads
     bias = None
     if bias_ref is not None:
@@ -176,9 +178,35 @@ def _mha_blhd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         if bias is not None:
             s = s + bias[:, None, :]
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        if mask_ref is not None:
+            p = p * mask_ref[:, h]
         o_ref[:, :, sl] = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+_SCOPED_VMEM_BUDGET = 14 * 2 ** 20  # 16 MB limit minus temp headroom
+
+
+def _pick_block_b(block_b: int, B: int, Lq: int, Lk: int, HD: int,
+                  itemsize: int, extra_elems_per_bb: int = 0) -> int:
+    """Largest feasible batch block <= block_b under the scoped-VMEM
+    limit. Empirical model (bench r5 B=512 OOM): the q/k/v/o windows
+    cost BB*HD*2*(Lq+Lk)*itemsize bytes, and Mosaic DOUBLE-buffers them
+    once the grid exceeds 8 steps — so B=256/BB=32 (grid 8, 12.6 MB
+    single-buffered) compiles and wins while B=512/BB=32 (grid 16,
+    25 MB) is rejected with 'scoped allocation 24.00M > 16.00M'."""
+    BB = min(block_b, B)
+    while B % BB:
+        BB //= 2
+    while BB > 1:
+        window = BB * (HD * 2 * (Lq + Lk) + extra_elems_per_bb) * itemsize
+        if window * (2 if B // BB > 8 else 1) <= _SCOPED_VMEM_BUDGET:
+            break
+        BB //= 2
+        while B % BB:
+            BB //= 2
+    return BB
 
 
 def mha_blhd(q, k, v, bias, n_heads: int, fast: bool = True,
@@ -192,14 +220,14 @@ def mha_blhd(q, k, v, bias, n_heads: int, fast: bool = True,
     block_b default from the round-5 chip sweep
     (scripts/drive_attention_layout.py, B=256 int8 engine, L=20):
     block 16 = 12,600 q/s, block 32 = 12,970 (+2.9%, bit-exact logits),
-    block 64 = VMEM OOM at the B,Lq=64 visual self-attn site (4 ops x
-    32x64x768 bf16 doubles to 24 MB > the 16 MB scoped-vmem limit)."""
+    block 64 = VMEM OOM at the B,Lq=64 visual self-attn site. The
+    requested block is a CAP — _pick_block_b shrinks it per call-site
+    shape so large batches (B>=512, where Mosaic double-buffers the
+    windows) stay under the 16 MB scoped-vmem limit."""
     B, Lq, HD = q.shape
     Lk = k.shape[1]
     D = HD // n_heads
-    BB = min(block_b, B)
-    while B % BB:
-        BB //= 2
+    BB = _pick_block_b(block_b, B, Lq, Lk, HD, q.dtype.itemsize)
     acc = q.dtype if fast else jnp.float32
     in_specs = [
         pl.BlockSpec((BB, Lq, HD), lambda b: (b, 0, 0),
@@ -238,3 +266,134 @@ def mha_blhd(q, k, v, bias, n_heads: int, fast: bool = True,
             transcendentals=B * n_heads * Lq * Lk),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Training-path BL(HD) attention: Pallas forward, einsum-recompute backward
+# ---------------------------------------------------------------------------
+#
+# The serving trace showed the (B,L,H*D) <-> (B,H,L,D) transpose copies
+# exist on the training forward too (same Attention module, same einsum
+# formulation — models/lxmert.py). The serving kernel above can't run
+# there because attention-prob dropout lives INSIDE the formulation. This
+# variant takes the dropout mask as a kernel OPERAND (pre-scaled
+# keep/keep_prob, drawn from the module's flax RNG exactly like
+# nn.Dropout would), so the forward stays layout-native; the backward is
+# jax.custom_vjp over an einsum recompute that applies the SAME mask
+# tensor — exact gradients, and the (B,H,Lq,Lk) probs are rematerialized
+# instead of stored (flash-attention-style residual saving: q/k/v/mask).
+
+
+def _blhd_einsum_ref(q, k, v, bias, mask, n_heads: int, fast: bool):
+    """Einsum reference of the BL(HD) train op (used for the backward
+    recompute and interpret-mode parity). q (B, Lq, H*D), k/v
+    (B, Lk, H*D), bias additive (B, Lk) or (B, 1, 1, Lk) or None,
+    mask pre-scaled (B, H, Lq, Lk) or None."""
+    B, Lq, HD = q.shape
+    Lk = k.shape[1]
+    D = HD // n_heads
+    acc = q.dtype if fast else jnp.float32
+    qh = q.reshape(B, Lq, n_heads, D)
+    kh = k.reshape(B, Lk, n_heads, D)
+    vh = v.reshape(B, Lk, n_heads, D)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=acc)
+    s = s * jnp.asarray(1.0 / np.sqrt(D), acc)
+    if bias is not None:
+        s = s + bias.reshape(B, 1, 1, Lk).astype(acc)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    if mask is not None:
+        p = p * mask
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", p, vh)
+    return ctx.reshape(B, Lq, HD)
+
+
+def _mha_blhd_train_fwd(q, k, v, bias, mask, n_heads: int, fast: bool,
+                        block_b: int):
+    B, Lq, HD = q.shape
+    Lk = k.shape[1]
+    D = HD // n_heads
+    BB = _pick_block_b(block_b, B, Lq, Lk, HD, q.dtype.itemsize,
+                       extra_elems_per_bb=(
+                           n_heads * Lq * Lk if mask is not None else 0))
+    acc = q.dtype if fast else jnp.float32
+    in_specs = [
+        pl.BlockSpec((BB, Lq, HD), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BB, Lk, HD), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BB, Lk, HD), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((BB, 1, Lk), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias.reshape(B, 1, Lk))
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((BB, n_heads, Lq, Lk),
+                                     lambda b: (b, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask.astype(q.dtype))
+
+    base = functools.partial(_mha_blhd_kernel, n_heads=n_heads,
+                             scale=float(1.0 / np.sqrt(D)), acc_dtype=acc)
+    if bias is not None and mask is not None:
+        def kern(q_ref, k_ref, v_ref, b_ref, m_ref, o_ref):
+            base(q_ref, k_ref, v_ref, b_ref, o_ref, mask_ref=m_ref)
+    elif bias is not None:
+        def kern(q_ref, k_ref, v_ref, b_ref, o_ref):
+            base(q_ref, k_ref, v_ref, b_ref, o_ref)
+    elif mask is not None:
+        def kern(q_ref, k_ref, v_ref, m_ref, o_ref):
+            base(q_ref, k_ref, v_ref, None, o_ref, mask_ref=m_ref)
+    else:
+        def kern(q_ref, k_ref, v_ref, o_ref):
+            base(q_ref, k_ref, v_ref, None, o_ref)
+
+    interpret = jax.devices()[0].platform == "cpu"
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
+        grid=(B // BB,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BB, Lq, HD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * n_heads * Lq * Lk * D,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * n_heads * Lq * Lk),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def mha_blhd_train(q, k, v, bias, dropout_mask, n_heads: int,
+                   fast: bool = False, block_b: int = 16):
+    """Differentiable BL(HD) fused attention for the training path.
+
+    q (B, Lq, H*D), k/v (B, Lk, H*D), bias additive (B, 1, 1, Lk) or
+    None, dropout_mask pre-scaled keep/keep_prob (B, H, Lq, Lk) or None.
+    Forward runs the layout-native Pallas kernel (mask applied to the
+    softmax probs in VMEM); backward recomputes via the einsum
+    formulation with the SAME saved mask (exact grads, probs never
+    stored). block_b default 16: the mask block adds VMEM on top of the
+    4 q/k/v/o windows, so the serving default 32 leaves no headroom at
+    the B,Lq=64 visual site."""
+    return _mha_blhd_train_fwd(q, k, v, bias, dropout_mask, n_heads,
+                               fast, block_b)
+
+
+def _blhd_train_vjp_fwd(q, k, v, bias, mask, n_heads, fast, block_b):
+    out = _mha_blhd_train_fwd(q, k, v, bias, mask, n_heads, fast, block_b)
+    return out, (q, k, v, bias, mask)
+
+
+def _blhd_train_vjp_bwd(n_heads, fast, block_b, res, g):
+    q, k, v, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, b, m: _blhd_einsum_ref(q, k, v, b, m, n_heads, fast),
+        q, k, v, bias, mask)
+    return vjp(g)
+
+
+mha_blhd_train.defvjp(_blhd_train_vjp_fwd, _blhd_train_vjp_bwd)
