@@ -113,6 +113,15 @@ def base_parser() -> argparse.ArgumentParser:
                    choices=["rbg", "threefry2x32", "unsafe_rbg"],
                    help="jax PRNG for dropout/masking streams "
                    "(default rbg: 8-10%% faster train steps on TPU)")
+    p.add_argument("--train_attention", default="xla",
+                   choices=["xla", "pallas_blhd", "auto"],
+                   help="training-path attention impl "
+                   "(models/lxmert.train_attention_mode): pallas_blhd "
+                   "routes the non-deterministic forward through the "
+                   "BL(HD) layout-native Pallas kernel with the dropout "
+                   "mask as a kernel operand + einsum-recompute backward "
+                   "(MEASURED SLOWER than xla on chip - docs/CEILING.md "
+                   "s3; kept as the documented experiment)")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture a jax.profiler trace of N training "
                    "steps (after 5 warmup steps of the first epoch) "

@@ -33,6 +33,11 @@ def run(task: str, argv=None):
 
     apply_rng_impl(cfg)
 
+    from xlxmert_tpu.models.lxmert import train_attention_mode
+
+    # training-path attention impl (trace-time module flag)
+    train_attention_mode(ns.train_attention)
+
     from xlxmert_tpu.core.checkpoint import load_any_checkpoint, save_pytree
     from xlxmert_tpu.core.metrics import LossMeter, RunLogger
     from xlxmert_tpu.data.answer_table import AnswerTable

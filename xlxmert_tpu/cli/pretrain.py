@@ -64,6 +64,12 @@ def main(argv=None):
 
     apply_rng_impl(cfg)
 
+    from xlxmert_tpu.models.lxmert import train_attention_mode
+
+    # training-path attention impl — must be set before the engine
+    # traces its train steps (module-level flag, read at trace time)
+    train_attention_mode(ns.train_attention)
+
     from xlxmert_tpu.core.checkpoint import (
         AsyncCheckpointer, epoch_ckpt_name, load_any_checkpoint,
         parse_start_epoch,

@@ -74,14 +74,18 @@ TRAIN_ATTENTION_IMPL = "xla"
 def train_attention_mode(impl: str = "auto") -> str:
     """Select the training-path attention implementation.
 
-    "auto" resolves to the layout-native Pallas kernel on accelerators
-    and to "xla" on CPU (tests / virtual mesh). Returns the resolved
-    impl. Flip BEFORE building/jitting the train step — the flag is
-    read at trace time."""
+    "auto" resolves to "xla" on every platform: the kernel route was
+    MEASURED SLOWER on chip (drive_pretrain --attrib 8, B=256 vis_mask:
+    fwd 68.8 vs 66.0 ms — materializing the (B,H,Lq,Lk) dropout mask
+    for the kernel costs more HBM than the head transposes it removes,
+    the traffic nn.Dropout fuses into the prob multiply — and the
+    einsum-recompute backward is 158.2 vs 103.4 ms; full step 1,061 vs
+    1,336 ex/s). "pallas_blhd" stays available as the documented
+    experiment. Returns the resolved impl. Flip BEFORE building/jitting
+    the train step — the flag is read at trace time."""
     global TRAIN_ATTENTION_IMPL
     if impl == "auto":
-        impl = ("xla" if jax.devices()[0].platform == "cpu"
-                else "pallas_blhd")
+        impl = "xla"
     TRAIN_ATTENTION_IMPL = impl
     return impl
 

@@ -378,7 +378,19 @@ def mha_blhd_train(q, k, v, bias, dropout_mask, n_heads: int,
     formulation with the SAME saved mask (exact grads, probs never
     stored). block_b default 16: the mask block adds VMEM on top of the
     4 q/k/v/o windows, so the serving default 32 leaves no headroom at
-    the B,Lq=64 visual site."""
+    the B,Lq=64 visual site.
+
+    MEASURED SLOWER than the XLA einsum training path on chip
+    (drive_pretrain --attrib 8, B=256 vis_mask, rbg PRNG): forward
+    68.8 vs 66.0 ms — the serving kernel's transpose win does not
+    transfer because training must MATERIALIZE the (B,H,Lq,Lk) dropout
+    mask in HBM as a kernel operand (~25 MB/visual site at B=256),
+    traffic nn.Dropout fuses into the prob multiply; and the
+    einsum-recompute backward costs 158.2 vs 103.4 ms (full step 1,061
+    vs 1,336 ex/s; chained 3-task mix 1,063-1,158 vs 1,375-1,632).
+    Kept as the documented experiment behind
+    models/lxmert.train_attention_mode('pallas_blhd'); 'auto' resolves
+    to 'xla'."""
     return _mha_blhd_train_fwd(q, k, v, bias, dropout_mask, n_heads,
                                fast, block_b)
 
